@@ -1,0 +1,261 @@
+"""32-bit modular arithmetic primitives for TPU.
+
+All FHE moduli in this framework are NTT-friendly primes q < 2^31, so every
+ring element lives in uint32 arrays and all modular arithmetic decomposes into
+16-bit limb products that the TPU VPU executes natively.  This mirrors the
+rationale of the reference GPU backend (/root/reference/src/core/lib/math/hal/
+mlx/barrett_metal.h:1-16 -- "constant-time Barrett without 128-bit ints,
+32x32->64 via 16-bit halves"), re-derived for XLA/Pallas:
+
+  * `mul32_parts`   -- exact 32x32 -> (hi, lo) uint32 product (4 VPU muls)
+  * `mont_mul`      -- Montgomery REDC product, R = 2^32 (general a*b mod q)
+  * `shoup_mul`     -- Shoup product against a precomputed constant (w, w')
+  * `reduce_i32`    -- exact reduction of signed int32 MXU accumulators mod q
+  * `divmod_u64_u32`-- exact 64-bit/32-bit divmod via f32 estimate + fixup
+                       (used by LWE modulus switching, RoundqQ semantics of
+                       reference src/binfhe/lib/lwe-pke.cpp:41)
+
+Host-side constant helpers (`mont_r2`, `shoup_precompute`, ...) use plain
+Python ints and are exact.
+
+Everything device-side is uint32/int32/float32 only: no 64-bit types reach
+XLA, so the same code compiles for TPU (which has no fast u64 multiply) and
+for the CPU test mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+I32 = jnp.int32
+F32 = jnp.float32
+
+_MASK16 = np.uint32(0xFFFF)
+
+
+def u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=U32)
+
+
+# ---------------------------------------------------------------------------
+# 32x32 -> 64 products from 16-bit halves
+# ---------------------------------------------------------------------------
+
+def mul32_parts(a, b):
+    """Exact (hi, lo) uint32 words of the 64-bit product a*b.
+
+    a, b: uint32 arrays (broadcastable). 4 multiplies + carry fixups.
+    """
+    a = a.astype(U32) if hasattr(a, "astype") else u32(a)
+    b = b.astype(U32) if hasattr(b, "astype") else u32(b)
+    a_lo = a & _MASK16
+    a_hi = a >> 16
+    b_lo = b & _MASK16
+    b_hi = b >> 16
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = lh + (ll >> 16)          # <= (2^16-1)^2 + (2^16-1) < 2^32, no wrap
+    mid2 = mid + hl                # may wrap
+    carry = (mid2 < hl).astype(U32)
+    lo = (ll & _MASK16) | (mid2 << 16)
+    hi = hh + (mid2 >> 16) + (carry << 16)
+    return hi, lo
+
+
+def mul32_hi(a, b):
+    """High uint32 word of the 64-bit product a*b."""
+    return mul32_parts(a, b)[0]
+
+
+def mul32_lo(a, b):
+    """Low uint32 word of a*b (plain wrapping multiply)."""
+    return (u32(a) * u32(b)).astype(U32)
+
+
+# ---------------------------------------------------------------------------
+# Modular add/sub/neg (inputs in [0, q), q < 2^31)
+# ---------------------------------------------------------------------------
+
+def add_mod(a, b, q):
+    t = u32(a) + u32(b)
+    return jnp.where(t >= q, t - u32(q), t)
+
+
+def sub_mod(a, b, q):
+    a = u32(a)
+    b = u32(b)
+    return jnp.where(a >= b, a - b, a + (u32(q) - b))
+
+
+def neg_mod(a, q):
+    a = u32(a)
+    return jnp.where(a == 0, a, u32(q) - a)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication, R = 2^32
+# ---------------------------------------------------------------------------
+
+def mont_mul(a, b, q, qinv_neg):
+    """(a * b * R^-1) mod q with R = 2^32.
+
+    Requires odd q < 2^31, a, b in [0, q).  `qinv_neg` = -q^-1 mod 2^32 as a
+    uint32 scalar (host precomputed, see `mont_constants`).
+
+    If b is in Montgomery form (b = x*R mod q) the result is a*x mod q in
+    plain form -- the framework keeps key material in Montgomery form and
+    ciphertext data in plain form so pointwise EVALUATION products cost one
+    REDC and no conversions.
+    """
+    hi, lo = mul32_parts(a, b)
+    m = mul32_lo(lo, qinv_neg)
+    mq_hi = mul32_hi(m, q)
+    t = hi + mq_hi + (lo != 0).astype(U32)
+    return jnp.where(t >= q, t - u32(q), t)
+
+
+def mont_constants(q: int):
+    """Host: (qinv_neg, r1, r2) = (-q^-1 mod 2^32, R mod q, R^2 mod q)."""
+    q = int(q)
+    assert q % 2 == 1 and 2 < q < 2**31
+    qinv = pow(q, -1, 1 << 32)
+    qinv_neg = ((1 << 32) - qinv) & 0xFFFFFFFF
+    r1 = (1 << 32) % q
+    r2 = pow(1 << 32, 2, q)
+    return np.uint32(qinv_neg), np.uint32(r1), np.uint32(r2)
+
+
+def to_mont(a, q, qinv_neg, r2):
+    return mont_mul(a, u32(r2), q, qinv_neg)
+
+
+def from_mont(a, q, qinv_neg):
+    return mont_mul(a, u32(1), q, qinv_neg)
+
+
+# ---------------------------------------------------------------------------
+# Shoup multiplication by a precomputed constant
+# ---------------------------------------------------------------------------
+
+def shoup_precompute(w: int, q: int) -> int:
+    """Host: w' = floor(w * 2^32 / q) for shoup_mul. Requires w < q < 2^31."""
+    assert 0 <= w < q < 2**31
+    return (w << 32) // q
+
+
+def shoup_mul(a, w, w_shoup, q):
+    """a * w mod q where (w, w') precomputed; a may be any uint32.
+
+    Matches the precon/Shoup butterflies of the reference CPU NTT
+    (src/core/include/math/hal/intnat/transformnat-impl.h:302-374).
+    """
+    qt = mul32_hi(a, u32(w_shoup))
+    r = mul32_lo(a, w) - mul32_lo(qt, q)
+    return jnp.where(r >= q, r - u32(q), r)
+
+
+# ---------------------------------------------------------------------------
+# Reduction of signed int32 accumulators (MXU matmul outputs) mod q
+# ---------------------------------------------------------------------------
+
+def reduce_i32(x, q):
+    """Exact x mod q for int32 x with |x| < 2^30 and q < 2^30.
+
+    Uses a float32 quotient estimate plus integer fixup; the estimate is
+    within +-1 of the true rounded quotient so two correction rounds suffice.
+    Returns uint32 in [0, q).
+    """
+    x = x.astype(I32)
+    qf = jnp.asarray(1.0 / float(q), dtype=F32)
+    k = jnp.round(x.astype(F32) * qf).astype(I32)
+    r = x - k * jnp.asarray(q, dtype=I32)
+    qi = jnp.asarray(q, dtype=I32)
+    r = jnp.where(r < 0, r + qi, r)
+    r = jnp.where(r < 0, r + qi, r)
+    r = jnp.where(r >= qi, r - qi, r)
+    r = jnp.where(r >= qi, r - qi, r)
+    return r.astype(U32)
+
+
+def barrett_reduce_u32(x, q, mu):
+    """x mod q for arbitrary uint32 x; mu = floor(2^32 / q) precomputed."""
+    k = mul32_hi(u32(x), u32(mu))
+    r = u32(x) - mul32_lo(k, q)
+    r = jnp.where(r >= q, r - u32(q), r)
+    r = jnp.where(r >= q, r - u32(q), r)
+    return r
+
+
+# ---------------------------------------------------------------------------
+# 64-bit by 32-bit exact divmod (for RoundqQ modulus switching)
+# ---------------------------------------------------------------------------
+
+def _sub64(a_hi, a_lo, b_hi, b_lo):
+    lo = a_lo - b_lo
+    borrow = (a_lo < b_lo).astype(U32)
+    hi = a_hi - b_hi - borrow
+    return hi, lo
+
+
+def _add64(a_hi, a_lo, b_hi, b_lo):
+    lo = a_lo + b_lo
+    carry = (lo < b_lo).astype(U32)
+    hi = a_hi + b_hi + carry
+    return hi, lo
+
+
+def _lt64(a_hi, a_lo, b_hi, b_lo):
+    return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+
+
+def divmod_u64_u32(hi, lo, d: int):
+    """Exact (quotient, remainder) of (hi*2^32 + lo) / d for uint32 words.
+
+    d is a static Python int, 0 < d < 2^32; the quotient must fit in uint32
+    AND be < 2^25 (the float32 estimate error is dividend * 2^-24 / d, so a
+    quotient bound of 2^25 keeps the fixup within the 3 correction rounds).
+    All modulus-switching uses satisfy this: quotient <= q <= 2^25.
+    """
+    hi = u32(hi)
+    lo = u32(lo)
+    xf = hi.astype(F32) * jnp.asarray(4294967296.0, F32) + lo.astype(F32)
+    k = (xf * jnp.asarray(1.0 / float(d), F32))
+    # float -> uint32 conversion clamps; keep it in range first
+    k = jnp.clip(k, 0.0, 4294967040.0).astype(U32)
+    kd_hi, kd_lo = mul32_parts(k, u32(int(d)))
+    r_hi, r_lo = _sub64(hi, lo, kd_hi, kd_lo)
+    d_u = u32(int(d))
+    zero = jnp.zeros_like(hi)
+    # correction: while r < 0 (wrapped): k -= 1, r += d; while r >= d: k += 1, r -= d
+    for _ in range(3):
+        neg = r_hi >> 31  # top bit set => negative in two's complement 64-bit
+        k = jnp.where(neg == 1, k - 1, k)
+        r_hi, r_lo = jnp.where(neg == 1, jnp.stack(_add64(r_hi, r_lo, zero, d_u)), jnp.stack((r_hi, r_lo)))
+    for _ in range(3):
+        ge = ~_lt64(r_hi, r_lo, zero, d_u)
+        k = jnp.where(ge, k + 1, k)
+        r_hi, r_lo = jnp.where(ge, jnp.stack(_sub64(r_hi, r_lo, zero, d_u)), jnp.stack((r_hi, r_lo)))
+    return k, r_lo
+
+
+def round_scale_mod(v, num: int, den: int, out_mod: int):
+    """floor(0.5 + v * num / den) mod out_mod, exactly.
+
+    This is RoundqQ of the reference (src/binfhe/lib/lwe-pke.cpp:41-46):
+    v in [0, den), num < 2^31, den < 2^31.
+    """
+    hi, lo = mul32_parts(u32(v), u32(int(num)))
+    # floor(0.5 + x/den) == floor((2x + den) / (2 den)) exactly, including
+    # odd den where den/2 is not integral.
+    two_hi = (hi << 1) | (lo >> 31)
+    two_lo = lo << 1
+    den_u = u32(int(den))
+    t_hi, t_lo = _add64(two_hi, two_lo, jnp.zeros_like(hi), den_u)
+    k, _ = divmod_u64_u32(t_hi, t_lo, 2 * int(den))
+    m = u32(int(out_mod))
+    # k <= num (since v < den), out_mod >= num in all uses, but reduce anyway
+    return jnp.where(k >= m, k - m, k)
