@@ -181,6 +181,35 @@ def reduce_i32(x, q):
     return r.astype(U32)
 
 
+def sum_mod(x, axis: int, q: int):
+    """Sum of uint32 values in [0, q) along `axis`, mod q, without overflow.
+
+    If q is a power of two, uint32 wrap-around is exact mod q.  Otherwise the
+    reduction is chunked so partial sums stay below 2^32, with a Barrett
+    reduction between chunks.
+    """
+    x = u32(x)
+    n = x.shape[axis]
+    if q & (q - 1) == 0:
+        return jnp.sum(x, axis=axis, dtype=U32) & u32(q - 1)
+    mu = np.uint32((1 << 32) // q)
+    chunk = max(1, (1 << 32) // q - 1)  # how many [0,q) values sum safely
+    while n > 1:
+        c = min(chunk, n)
+        groups = -(-n // c)
+        pad = groups * c - n
+        if pad:
+            pads = [(0, 0)] * x.ndim
+            pads[axis] = (0, pad)
+            x = jnp.pad(x, pads)
+        shp = list(x.shape)
+        shp[axis:axis + 1] = [groups, c]
+        x = jnp.sum(x.reshape(shp), axis=axis + 1, dtype=U32)
+        x = barrett_reduce_u32(x, q, mu)
+        n = groups
+    return jnp.squeeze(x, axis=axis)
+
+
 def barrett_reduce_u32(x, q, mu):
     """x mod q for arbitrary uint32 x; mu = floor(2^32 / q) precomputed."""
     k = mul32_hi(u32(x), u32(mu))

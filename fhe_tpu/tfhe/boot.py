@@ -1,0 +1,227 @@
+"""Gate bootstrapping: test-vector init, CGGI blind rotation, extraction.
+
+Semantics mirror the reference BinFHEScheme
+(/root/reference/src/binfhe/lib/binfhe-base-scheme.cpp BootstrapGateCore
+:525-583, EvalBinGate :76-127; rgsw-acc-cggi.cpp EvalAcc :61-70,
+AddToAccCGGI :104-150), re-architected for TPU:
+
+* the n-step accumulator loop is a `lax.scan` whose carry is the batched
+  accumulator [B, 2, N]; each step runs two batched MXU NTTs (inverse of the
+  accumulator, forward of the gadget digits) and a VPU external product;
+* the monomial (X^idx - 1) multiplication happens analytically in
+  EVALUATION format -- its value at point psi^(2k+1) is psi^((2k+1)*idx)-1,
+  a gather from a 2N-entry Montgomery power table -- instead of the
+  reference's precomputed monomial polys (rgsw-cryptoparameters.cpp);
+* the whole gate (linear combo -> blind rotate -> extract -> mod/key
+  switch) is one jittable pure function over a ciphertext batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import ntt as nttmod
+from ..math.modmath import (U32, add_mod, sub_mod, u32)
+from .params import TfheParams, Gate
+from . import lwe, rgsw
+
+
+@functools.lru_cache(maxsize=None)
+def psi_powers_mont(N: int, Q: int) -> jax.Array:
+    """[2N] table of psi^e mod Q in Montgomery form (psi = 2N-th root)."""
+    plan = nttmod.make_plan(N, Q)
+    acc, out = 1, np.zeros(2 * N, dtype=np.uint32)
+    for e in range(2 * N):
+        out[e] = (acc << 32) % Q
+        acc = acc * plan.psi % Q
+    return jnp.asarray(out)
+
+
+def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
+    """EVALUATION-format values of (X^idx - 1), Montgomery form.
+
+    idx: [B] uint32 in [0, 2N). Returns [B, N] uint32:
+    out[b, k] = (psi^((2k+1) * idx[b]) - 1) * R mod Q.
+    """
+    N, Q = params.N, params.Q
+    table = psi_powers_mont(N, Q)
+    k2 = (2 * jnp.arange(N, dtype=U32) + 1)[None, :]
+    e = (k2 * idx[:, None]) & u32(2 * N - 1)     # 2N is a power of two
+    vals = jnp.take(table, e.astype(jnp.int32), axis=0)
+    r_mod_q = u32((1 << 32) % Q)                 # Montgomery form of 1
+    return sub_mod(vals, r_mod_q, Q)
+
+
+def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
+                 a: jax.Array, ntt_impl: str | None = None) -> jax.Array:
+    """CGGI accumulation (rgsw-acc-cggi.cpp EvalAcc/AddToAccCGGI).
+
+    bsk: [n, 2, dG2, 2, N] uint32 (EVALUATION, Montgomery);
+    acc: [B, 2, N] uint32 (EVALUATION, plain form);
+    a:   [B, n] uint32, the LWE mask mod q.
+    """
+    N, Q, q = params.N, params.Q, params.q
+    plan = nttmod.make_plan(N, Q)
+    m_by_mod = (2 * N) // q
+    # idx_pos[b, i] = ((q - a[b,i]) mod q) * 2N/q, in [0, 2N)
+    idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by_mod)) & u32(2 * N - 1)
+    idx_neg = (u32(2 * N) - idx_pos) & u32(2 * N - 1)
+
+    def step(acc, xs):
+        bsk_i, ip, ineg = xs           # [2, dG2, 2, N], [B], [B]
+        c = nttmod.ntt_inverse(plan, acc, ntt_impl)          # [B, 2, N]
+        digits = rgsw.signed_digit_decompose(params, c)      # [B, dG2, N]
+        d_eval = rgsw.ntt_signed_digits(plan, digits, ntt_impl)
+        ep_pos = rgsw.external_product(plan, d_eval, bsk_i[0])  # [B, 2, N]
+        ep_neg = rgsw.external_product(plan, d_eval, bsk_i[1])
+        mono_p = monomial_minus_one_eval(params, ip)[:, None, :]
+        mono_n = monomial_minus_one_eval(params, ineg)[:, None, :]
+        upd = add_mod(nttmod.pointwise_mont(plan, ep_pos, mono_p),
+                      nttmod.pointwise_mont(plan, ep_neg, mono_n), Q)
+        return add_mod(acc, upd, Q), None
+
+    xs = (bsk, idx_pos.T, idx_neg.T)
+    acc, _ = jax.lax.scan(step, acc, xs)
+    return acc
+
+
+def make_gate_test_vector(params: TfheParams, b: jax.Array,
+                          gate: Gate, p: int = 4) -> jax.Array:
+    """Accumulator init m for gate bootstrapping, COEFFICIENT format
+    (binfhe-base-scheme.cpp BootstrapGateCore:536-576).
+
+    b: [B] uint32 LWE body mod q. Returns [B, N] uint32.
+    """
+    N, Q, q = params.N, params.Q, params.q
+    q_half = q >> 1
+    q1 = params.gate_const(gate)
+    q2 = (q1 + q_half) % q
+    swap = q1 >= q2
+    lb, ub = (q2, q1) if swap else (q1, q2)
+    q2p = Q // (p * 2) + 1
+    lv = u32(q2p if swap else Q - q2p)
+    uv = u32(Q - q2p if swap else q2p)
+    factor = N // q_half
+
+    j = jnp.arange(q_half, dtype=U32)[None, :]
+    bj = sub_mod(b[:, None], j, q)                      # [B, q/2]
+    vals = jnp.where((bj >= lb) & (bj < ub), lv, uv)
+    m = jnp.zeros(b.shape + (N,), dtype=U32)
+    return m.at[:, ::factor].set(vals)
+
+
+def make_func_test_vector(params: TfheParams, b: jax.Array, f_table: jax.Array,
+                          f_mod: int) -> jax.Array:
+    """Accumulator init for functional bootstrap (BootstrapFuncCore:589-625).
+
+    f_table: [q] uint32 with f_table[v] = f(v, q, fmod) in [0, fmod);
+    coefficient j*factor gets Q/fmod * f((b - j) mod q)."""
+    N, Q, q = params.N, params.Q, params.q
+    factor = (2 * N) // q
+    j = jnp.arange(q >> 1, dtype=U32)[None, :]
+    bj = sub_mod(b[:, None], j, q)
+    fv = jnp.take(f_table, bj.astype(jnp.int32), axis=0)
+    vals = u32(Q // f_mod) * fv                          # < Q, exact
+    m = jnp.zeros(b.shape + (N,), dtype=U32)
+    return m.at[:, ::factor].set(vals)
+
+
+def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
+                   a: jax.Array, ntt_impl: str | None = None):
+    """Blind-rotate a COEFFICIENT test vector by the mask `a`; returns the
+    accumulator [B, 2, N] in EVALUATION format."""
+    plan = nttmod.make_plan(params.N, params.Q)
+    B = test_vec.shape[0]
+    acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
+    acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl)[:, None, :]
+    acc = jnp.concatenate([acc0, acc1], axis=1)
+    return blind_rotate(params, bsk, acc, a, ntt_impl)
+
+
+def extract_lwe(params: TfheParams, acc: jax.Array, b_offset: int,
+                ntt_impl: str | None = None) -> lwe.LweCiphertext:
+    """Transpose + constant-term extraction (EvalBinGate :111-124).
+
+    The a-poly transpose a(X) -> a(X^(2N-1)) is a flip in natural-order
+    EVALUATION format; b = b_offset + acc1.coef[0] mod Q."""
+    Q = params.Q
+    plan = nttmod.make_plan(params.N, Q)
+    a_t_eval = jnp.flip(acc[:, 0, :], axis=-1)
+    both = jnp.stack([a_t_eval, acc[:, 1, :]], axis=1)
+    coef = nttmod.ntt_inverse(plan, both, ntt_impl)
+    a_coef = coef[:, 0, :]
+    b = add_mod(coef[:, 1, 0], u32(b_offset % Q), Q)
+    return lwe.LweCiphertext(a=a_coef, b=b, modulus=Q, pt_mod=4)
+
+
+def eval_bin_gate(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
+                  ct1: lwe.LweCiphertext, ct2: lwe.LweCiphertext,
+                  extended: bool = False,
+                  ntt_impl: str | None = None) -> lwe.LweCiphertext:
+    """Two-input bootstrapped gate (binfhe-base-scheme.cpp EvalBinGate:76).
+
+    ct1/ct2: [B]-batched LWE ciphertexts mod q, dim n."""
+    Q = params.Q
+    cct1 = (lwe.switch_ct_to_qn(params, key.ksk, ct1)
+            if ct1.modulus == Q else ct1)
+    cct2 = (lwe.switch_ct_to_qn(params, key.ksk, ct2)
+            if ct2.modulus == Q else ct2)
+    comb = lwe.add(cct1, cct2)
+    if gate in (Gate.XOR, Gate.XNOR, Gate.XOR_FAST, Gate.XNOR_FAST):
+        comb = lwe.add(comb, comb)
+    return _finish_gate(params, key, gate, comb, 4, extended, ntt_impl)
+
+
+def eval_bin_gate_multi(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
+                        cts: list[lwe.LweCiphertext], extended: bool = False,
+                        ntt_impl: str | None = None) -> lwe.LweCiphertext:
+    """3/4-input gates + MAJORITY (EvalBinGate vector overload :129-185)."""
+    if gate not in (Gate.AND3, Gate.OR3, Gate.AND4, Gate.OR4, Gate.MAJORITY):
+        raise ValueError(f"multi-input form not defined for {gate}")
+    Q = params.Q
+    comb = (lwe.switch_ct_to_qn(params, key.ksk, cts[0])
+            if cts[0].modulus == Q else cts[0])
+    for ct in cts[1:]:
+        nxt = (lwe.switch_ct_to_qn(params, key.ksk, ct)
+               if ct.modulus == Q else ct)
+        comb = lwe.add(comb, nxt)
+    return _finish_gate(params, key, gate, comb, comb.pt_mod, extended,
+                        ntt_impl)
+
+
+def _finish_gate(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
+                 comb: lwe.LweCiphertext, p: int, extended: bool,
+                 ntt_impl: str | None) -> lwe.LweCiphertext:
+    Q = params.Q
+    lead = comb.batch_shape
+    a = comb.a.reshape(-1, params.n)
+    b = comb.b.reshape(-1)
+    tv = make_gate_test_vector(params, b, gate, p)
+    acc = bootstrap_core(params, key.bsk, tv, a, ntt_impl)
+    ct_ext = extract_lwe(params, acc, Q // (p * 2) + 1, ntt_impl)
+    ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
+                               b=ct_ext.b.reshape(lead), modulus=Q, pt_mod=p)
+    if extended:
+        return ct_ext
+    return lwe.switch_ct_to_qn(params, key.ksk, ct_ext)
+
+
+def bootstrap(params: TfheParams, key: rgsw.BootstrapKey,
+              ct: lwe.LweCiphertext, extended: bool = False,
+              ntt_impl: str | None = None) -> lwe.LweCiphertext:
+    """Plain refresh bootstrap (Bootstrap :188-220): evaluates the AND-style
+    test vector on ct + (q/4, adjusted) ... implemented as the reference
+    does: add a trivial offset ciphertext then run the AND pipeline."""
+    q = params.q
+    # reference Bootstrap adds (a=0, b=q/8) then uses gate constant 3q/8
+    # with the same in-range mapping as AND; equivalently run the AND gate
+    # machinery on ct + trivial(q/8).
+    b_shift = add_mod(ct.b, u32(q >> 3), q)
+    shifted = lwe.LweCiphertext(a=ct.a, b=b_shift, modulus=q,
+                                pt_mod=ct.pt_mod)
+    return _finish_gate(params, key, Gate.AND, shifted, ct.pt_mod,
+                        extended, ntt_impl)

@@ -1,0 +1,96 @@
+"""BinFHE context facade -- the TPU analogue of the reference's
+BinFHEContext (/root/reference/src/binfhe/include/binfhecontext.h:80).
+
+Unlike the reference's stateful god-object, this context is a thin wrapper
+over pure jittable functions: parameters are static Python data, keys are
+device pytrees, and every Eval* accepts arbitrarily batched ciphertexts
+(the batch axis is the TPU throughput axis, reference binfhe-batch.h's
+design goal made the default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+
+from .params import TfheParams, Method, Gate, make_params
+from . import lwe, rgsw, boot
+
+
+@dataclasses.dataclass
+class BinFheContext:
+    params: TfheParams
+    ntt_impl: str | None = None   # None = auto (MXU on TPU)
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def generate(cls, param_set: str = "STD128",
+                 method: Method = Method.GINX) -> "BinFheContext":
+        if method != Method.GINX:
+            raise NotImplementedError(
+                "AP and LMKCDEY accumulators are planned; GINX/CGGI is the "
+                "default method (binfhecontext.h:102)")
+        return cls(params=make_params(param_set, method))
+
+    # -- key generation -----------------------------------------------------
+    def key_gen(self, rng: np.random.Generator | int = 0) -> lwe.LweSecretKey:
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        return lwe.keygen(self.params, rng)
+
+    def key_gen_n(self, rng: np.random.Generator | int = 0) -> lwe.LweSecretKey:
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        return lwe.keygen(self.params, rng, dim=self.params.N)
+
+    def bt_key_gen(self, sk: lwe.LweSecretKey,
+                   rng: np.random.Generator | int = 0,
+                   sk_n: lwe.LweSecretKey | None = None) -> rgsw.BootstrapKey:
+        """BTKeyGen (binfhecontext.h:266): refresh + switching keys."""
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        if sk_n is None:
+            sk_n = lwe.keygen(self.params, rng, dim=self.params.N)
+        ksk = lwe.key_switch_gen(self.params, sk, sk_n, rng)
+        bsk = rgsw.bsk_gen(self.params, sk, sk_n, rng)
+        return rgsw.BootstrapKey(bsk=bsk, ksk=ksk)
+
+    # -- encryption ---------------------------------------------------------
+    def encrypt(self, sk: lwe.LweSecretKey, m,
+                rng: np.random.Generator | int = 0, p: int = 4,
+                modulus: int | None = None) -> lwe.LweCiphertext:
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        return lwe.encrypt(self.params, sk, m, rng, p, modulus)
+
+    def decrypt(self, sk: lwe.LweSecretKey, ct: lwe.LweCiphertext,
+                p: int | None = None) -> jax.Array:
+        return lwe.decrypt(self.params, sk, ct, p)
+
+    # -- gates --------------------------------------------------------------
+    def eval_bin_gate(self, key: rgsw.BootstrapKey, gate: Gate | str,
+                      ct1: lwe.LweCiphertext, ct2: lwe.LweCiphertext,
+                      extended: bool = False) -> lwe.LweCiphertext:
+        gate = Gate[gate] if isinstance(gate, str) else gate
+        if gate == Gate.CMUX:
+            raise ValueError("CMUX takes 3 inputs; use eval_cmux")
+        return boot.eval_bin_gate(self.params, key, gate, ct1, ct2,
+                                  extended, self.ntt_impl)
+
+    def eval_bin_gate_multi(self, key: rgsw.BootstrapKey, gate: Gate | str,
+                            cts, extended: bool = False) -> lwe.LweCiphertext:
+        gate = Gate[gate] if isinstance(gate, str) else gate
+        return boot.eval_bin_gate_multi(self.params, key, gate, list(cts),
+                                        extended, self.ntt_impl)
+
+    def eval_cmux(self, key: rgsw.BootstrapKey, ct0, ct1, ct_sel):
+        """CMUX via 3 NANDs (EvalBinGate vector overload :178-183)."""
+        nand = lambda a, b: self.eval_bin_gate(key, Gate.NAND, a, b)
+        ct_nand1 = nand(ct0, self.eval_not(ct_sel))
+        ct_nand2 = nand(ct1, ct_sel)
+        return nand(ct_nand1, ct_nand2)
+
+    def eval_not(self, ct: lwe.LweCiphertext) -> lwe.LweCiphertext:
+        return lwe.not_(ct)
+
+    def bootstrap(self, key: rgsw.BootstrapKey, ct: lwe.LweCiphertext,
+                  extended: bool = False) -> lwe.LweCiphertext:
+        return boot.bootstrap(self.params, key, ct, extended, self.ntt_impl)

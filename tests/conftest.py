@@ -2,17 +2,22 @@
 
 Multi-chip sharding is validated on virtual CPU devices
 (xla_force_host_platform_device_count); real-TPU runs happen via bench.py.
+
+NOTE: this environment pre-imports jax at interpreter startup (axon
+sitecustomize) with JAX_PLATFORMS=axon already captured, so the env var
+alone is ignored -- jax.config.update is required to force CPU.
 """
 
 import os
 
-# force CPU: the ambient environment may point JAX_PLATFORMS at a tunneled
-# TPU (axon); tests must run hermetically on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
