@@ -1,0 +1,363 @@
+"""RNS (double-CRT) polynomial layer: the TPU analogue of DCRTPoly.
+
+Reference semantics: /root/reference/src/core/include/lattice/hal/default/
+dcrtpoly.h:59 (DCRTPolyImpl) and dcrtpoly-impl.h:910-1030 (ApproxSwitchCRT
+Basis / ApproxModUp / ApproxModDown / SwitchCRTBasis), re-architected for
+TPU:
+
+* a ring element is one uint32 tensor [..., L, N] (limb-major, coefficients
+  on the 128-lane axis) instead of a vector of per-modulus objects;
+* every limb's NTT tables are stacked so all limbs transform in ONE batched
+  MXU matmul / butterfly pass (per-limb moduli broadcast as [L, 1] arrays);
+* CRT basis changes contract the limb axis with Montgomery-form constant
+  matrices -- the reference's per-coefficient loops become one einsum-like
+  vectorized op.
+
+Format tracking (COEFFICIENT vs EVALUATION) is a static field, so format
+errors are caught at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import ntt as nttmod
+from ..math import primes
+from ..math.modmath import (U32, u32, add_mod, sub_mod, neg_mod, mont_mul,
+                            mont_constants, shoup_mul, shoup_precompute)
+
+COEFF = "COEFF"
+EVAL = "EVAL"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RnsPlan:
+    """Stacked per-limb NTT plans + modular constants for a basis {q_i}."""
+    N: int = dataclasses.field(metadata=dict(static=True))
+    moduli: tuple = dataclasses.field(metadata=dict(static=True))
+    # [L] per-limb scalars
+    q_arr: jax.Array          # uint32 moduli
+    qinv_neg: jax.Array       # -q^-1 mod 2^32
+    r2: jax.Array             # 2^64 mod q (to-Montgomery constant)
+    ninv: jax.Array
+    ninv_s: jax.Array
+    # [L, N] stacked butterfly tables
+    fwd_w: jax.Array
+    fwd_ws: jax.Array
+    inv_w: jax.Array
+    inv_ws: jax.Array
+    br: jax.Array             # [N] bit reversal (same for all limbs)
+
+    @property
+    def L(self) -> int:
+        return len(self.moduli)
+
+
+@functools.lru_cache(maxsize=None)
+def make_rns_plan(N: int, moduli: tuple) -> RnsPlan:
+    plans = [nttmod.make_plan(N, q) for q in moduli]
+    stk = lambda f: jnp.stack([f(p) for p in plans])
+    return RnsPlan(
+        N=N, moduli=tuple(moduli),
+        q_arr=jnp.asarray(np.array(moduli, dtype=np.uint32)),
+        qinv_neg=jnp.asarray(np.array([p.qinv_neg for p in plans], np.uint32)),
+        r2=jnp.asarray(np.array([p.r2 for p in plans], np.uint32)),
+        ninv=stk(lambda p: p.ninv), ninv_s=stk(lambda p: p.ninv_s),
+        fwd_w=stk(lambda p: p.fwd_w), fwd_ws=stk(lambda p: p.fwd_ws),
+        inv_w=stk(lambda p: p.inv_w), inv_ws=stk(lambda p: p.inv_ws),
+        br=plans[0].br,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RnsPoly:
+    """[..., L, N] uint32 ring element over basis `moduli`, in `fmt`."""
+    data: jax.Array
+    moduli: tuple = dataclasses.field(metadata=dict(static=True))
+    fmt: str = dataclasses.field(metadata=dict(static=True), default=EVAL)
+
+    @property
+    def N(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def L(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def plan(self) -> RnsPlan:
+        return make_rns_plan(self.N, self.moduli)
+
+    def _q(self):
+        """Per-limb modulus broadcast shape [L, 1]."""
+        return self.plan.q_arr[:, None]
+
+
+def _qb(plan: RnsPlan):
+    return plan.q_arr[:, None]
+
+
+# ---------------------------------------------------------------------------
+# batched multi-modulus butterflies (all limbs at once)
+# ---------------------------------------------------------------------------
+
+def ntt_forward(plan: RnsPlan, x: jax.Array) -> jax.Array:
+    """[..., L, N] COEFF -> EVAL, per-limb moduli."""
+    N = plan.N
+    L = len(plan.moduli)
+    logN = N.bit_length() - 1
+    lead = x.shape[:-2]
+    x = x.reshape(-1, L, N)
+    q = plan.q_arr[None, :, None, None]
+    for s in range(logN):
+        m = 1 << s
+        t = N >> (s + 1)
+        xv = x.reshape(-1, L, m, 2, t)
+        tw = jax.lax.dynamic_slice_in_dim(plan.fwd_w, m, m, axis=1)
+        tws = jax.lax.dynamic_slice_in_dim(plan.fwd_ws, m, m, axis=1)
+        tw = tw[None, :, :, None]
+        tws = tws[None, :, :, None]
+        u = xv[:, :, :, 0, :]
+        v = shoup_mul(xv[:, :, :, 1, :], tw, tws, q)
+        x = jnp.stack([add_mod(u, v, q), sub_mod(u, v, q)],
+                      axis=3).reshape(-1, L, N)
+    x = jnp.take(x, plan.br, axis=-1)
+    return x.reshape(*lead, L, N)
+
+
+def ntt_inverse(plan: RnsPlan, x: jax.Array) -> jax.Array:
+    """[..., L, N] EVAL -> COEFF, per-limb moduli."""
+    N = plan.N
+    L = len(plan.moduli)
+    logN = N.bit_length() - 1
+    lead = x.shape[:-2]
+    x = x.reshape(-1, L, N)
+    x = jnp.take(x, plan.br, axis=-1)
+    q = plan.q_arr[None, :, None, None]
+    for s in range(logN):
+        h = N >> (s + 1)
+        t = 1 << s
+        xv = x.reshape(-1, L, h, 2, t)
+        tw = jax.lax.dynamic_slice_in_dim(plan.inv_w, h, h, axis=1)
+        tws = jax.lax.dynamic_slice_in_dim(plan.inv_ws, h, h, axis=1)
+        tw = tw[None, :, :, None]
+        tws = tws[None, :, :, None]
+        u = xv[:, :, :, 0, :]
+        v = xv[:, :, :, 1, :]
+        lo = add_mod(u, v, q)
+        hi = shoup_mul(sub_mod(u, v, q), tw, tws, q)
+        x = jnp.stack([lo, hi], axis=3).reshape(-1, L, N)
+    qn = plan.q_arr[None, :, None]
+    x = shoup_mul(x, plan.ninv[None, :, None], plan.ninv_s[None, :, None], qn)
+    return x.reshape(*lead, L, N)
+
+
+# ---------------------------------------------------------------------------
+# element ops
+# ---------------------------------------------------------------------------
+
+def to_eval(p: RnsPoly) -> RnsPoly:
+    if p.fmt == EVAL:
+        return p
+    return RnsPoly(ntt_forward(p.plan, p.data), p.moduli, EVAL)
+
+
+def to_coeff(p: RnsPoly) -> RnsPoly:
+    if p.fmt == COEFF:
+        return p
+    return RnsPoly(ntt_inverse(p.plan, p.data), p.moduli, COEFF)
+
+
+def _binop(a: RnsPoly, b: RnsPoly, op):
+    assert a.moduli == b.moduli and a.fmt == b.fmt, (a.moduli, b.moduli,
+                                                     a.fmt, b.fmt)
+    return RnsPoly(op(a.data, b.data, a._q()), a.moduli, a.fmt)
+
+
+def add(a: RnsPoly, b: RnsPoly) -> RnsPoly:
+    return _binop(a, b, add_mod)
+
+
+def sub(a: RnsPoly, b: RnsPoly) -> RnsPoly:
+    return _binop(a, b, sub_mod)
+
+
+def neg(a: RnsPoly) -> RnsPoly:
+    return RnsPoly(neg_mod(a.data, a._q()), a.moduli, a.fmt)
+
+
+def mul(a: RnsPoly, b: RnsPoly) -> RnsPoly:
+    """Pointwise product (EVALUATION format required)."""
+    assert a.fmt == EVAL and b.fmt == EVAL and a.moduli == b.moduli
+    plan = a.plan
+    bm = mont_mul(b.data, plan.r2[:, None], _qb(plan), plan.qinv_neg[:, None])
+    out = mont_mul(a.data, bm, _qb(plan), plan.qinv_neg[:, None])
+    return RnsPoly(out, a.moduli, EVAL)
+
+
+def mul_mont(a: RnsPoly, b_mont: jax.Array) -> RnsPoly:
+    """Pointwise product against Montgomery-form raw data (key material)."""
+    assert a.fmt == EVAL
+    plan = a.plan
+    out = mont_mul(a.data, b_mont, _qb(plan), plan.qinv_neg[:, None])
+    return RnsPoly(out, a.moduli, EVAL)
+
+
+def mul_scalar(a: RnsPoly, c) -> RnsPoly:
+    """Multiply by integer scalar(s): c is a host int or [L] uint32 residues."""
+    plan = a.plan
+    if isinstance(c, int):
+        c = np.array([c % q for q in a.moduli], dtype=np.uint32)
+        c = jnp.asarray(c)
+    cm = mont_mul(c[:, None], plan.r2[:, None], _qb(plan),
+                  plan.qinv_neg[:, None])
+    out = mont_mul(a.data, cm, _qb(plan), plan.qinv_neg[:, None])
+    return RnsPoly(out, a.moduli, a.fmt)
+
+
+def automorphism(p: RnsPoly, k: int) -> RnsPoly:
+    """a(X) -> a(X^k) for odd k (EvalAutomorphism index permutation).
+
+    In natural-order EVALUATION: out[i] = in[pi(i)] where the point
+    psi^(2i+1) maps to psi^((2i+1)k mod 2N)."""
+    assert p.fmt == EVAL
+    N = p.N
+    k = k % (2 * N)
+    assert k % 2 == 1
+    # out index i takes value a(psi^{(2i+1)k}) = in[j] with 2j+1 = (2i+1)k mod 2N,
+    # sign: if (2i+1)k mod 4N >= 2N the point is psi^{e-2N} = -psi^e? No--
+    # psi has order 2N so exponents are mod 2N and j = ((2i+1)k mod 2N - 1)/2.
+    i = np.arange(N, dtype=np.int64)
+    e = ((2 * i + 1) * k) % (2 * N)
+    j = ((e - 1) // 2).astype(np.int32)
+    perm = jnp.asarray(j)
+    return RnsPoly(jnp.take(p.data, perm, axis=-1), p.moduli, EVAL)
+
+
+# ---------------------------------------------------------------------------
+# CRT basis arithmetic (host constants)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _basis_consts(from_mods: tuple, to_mods: tuple):
+    """Constants for ApproxSwitchCRTBasis {q_i} -> {p_j}:
+    qhat_inv[i]  = (Q/q_i)^-1 mod q_i      (Montgomery form)
+    qhat_to[i,j] = (Q/q_i) mod p_j         (Montgomery form wrt p_j)
+    """
+    Q = 1
+    for q in from_mods:
+        Q *= q
+    L, M = len(from_mods), len(to_mods)
+    qhat_inv = np.zeros(L, dtype=np.uint32)
+    qhat_to = np.zeros((L, M), dtype=np.uint32)
+    for i, qi in enumerate(from_mods):
+        qhat = Q // qi
+        qhat_inv[i] = (pow(qhat % qi, -1, qi) << 32) % qi
+        for j, pj in enumerate(to_mods):
+            qhat_to[i, j] = ((qhat % pj) << 32) % pj
+    # host numpy on purpose: lru_cache + trace-created constants leak tracers
+    return qhat_inv, qhat_to
+
+
+def switch_crt_basis_approx(p: RnsPoly, to_mods: tuple) -> RnsPoly:
+    """ApproxSwitchCRTBasis (dcrtpoly-impl.h:910): out_j = sum_i
+    [x_i * (Q/q_i)^-1 mod q_i] * (Q/q_i) mod p_j.  COEFFICIENT format.
+
+    'Approx': the result equals x + u*Q for a small integer u in [0, L)
+    (no exact rounding), exactly as the reference."""
+    assert p.fmt == COEFF
+    plan = p.plan
+    to_plan = make_rns_plan(p.N, to_mods)
+    qhat_inv_np, qhat_to_np = _basis_consts(p.moduli, to_mods)
+    qhat_inv, qhat_to = jnp.asarray(qhat_inv_np), jnp.asarray(qhat_to_np)
+    # y_i = x_i * qhat_inv_i mod q_i  (mont constant -> plain result)
+    y = mont_mul(p.data, qhat_inv[:, None], _qb(plan),
+                 plan.qinv_neg[:, None])                    # [..., L, N]
+    # out_j = sum_i y_i * qhat_to[i, j] mod p_j
+    pq = to_plan.q_arr[:, None]                             # [M, 1]
+    pinv = to_plan.qinv_neg[:, None]
+    # reduce y_i mod p_j first (y_i < q_i may exceed p_j)
+    terms = mont_mul(y[..., :, None, :], qhat_to[:, :, None], pq, pinv)
+    acc = terms[..., 0, :, :]
+    for i in range(1, len(p.moduli)):
+        acc = add_mod(acc, terms[..., i, :, :], pq)
+    return RnsPoly(acc, to_mods, COEFF)
+
+
+def expand_crt_basis_approx(p: RnsPoly, ext_mods: tuple) -> RnsPoly:
+    """ApproxModUp Q -> QP (dcrtpoly-impl.h:988): keep Q limbs, append the
+    switched P limbs."""
+    ext = switch_crt_basis_approx(p, ext_mods)
+    data = jnp.concatenate([p.data, ext.data], axis=-2)
+    return RnsPoly(data, p.moduli + tuple(ext_mods), p.fmt)
+
+
+def approx_mod_down(p: RnsPoly, q_mods: tuple, p_mods: tuple) -> RnsPoly:
+    """ApproxModDown QP -> Q: out = (x - SwitchCRTBasis(x_P)) * P^-1 mod Q.
+
+    p: COEFF poly over q_mods + p_mods. Mirrors dcrtpoly-impl.h ApproxModDown
+    (used by HYBRID key switching to strip the extension modulus P)."""
+    assert p.fmt == COEFF and p.moduli == tuple(q_mods) + tuple(p_mods)
+    Lq = len(q_mods)
+    x_q = RnsPoly(p.data[..., :Lq, :], tuple(q_mods), COEFF)
+    x_p = RnsPoly(p.data[..., Lq:, :], tuple(p_mods), COEFF)
+    sw = switch_crt_basis_approx(x_p, tuple(q_mods))
+    diff = sub(x_q, sw)
+    P = 1
+    for m in p_mods:
+        P *= m
+    pinv = np.array([(pow(P % q, -1, q)) for q in q_mods], dtype=np.uint64)
+    return mul_scalar(diff, jnp.asarray(pinv.astype(np.uint32)))
+
+
+def drop_last_element_and_scale(p: RnsPoly, qlinv_mont: jax.Array | None = None
+                                ) -> RnsPoly:
+    """CKKS rescale (dcrtpoly.h:209 DropLastElementAndScale): with last
+    modulus q_L, out_i = (x_i - x_L) * q_L^-1 mod q_i on COEFF data."""
+    assert p.fmt == COEFF
+    mods = p.moduli
+    qL = mods[-1]
+    keep = mods[:-1]
+    plan_k = make_rns_plan(p.N, keep)
+    x_keep = p.data[..., :-1, :]
+    x_last = p.data[..., -1:, :]                    # [..., 1, N] values < qL
+    qk = plan_k.q_arr[:, None]
+    # reduce x_last mod each q_i (x_last < qL < 2^31; q_i < 2^31)
+    mu = jnp.asarray(np.array([(1 << 32) // q for q in keep],
+                              dtype=np.uint32))[:, None]
+    from ..math.modmath import barrett_reduce_u32
+    xl = barrett_reduce_u32(jnp.broadcast_to(x_last, x_keep.shape), qk, mu)
+    diff = sub_mod(x_keep, xl, qk)
+    qlinv = np.array([pow(qL % q, -1, q) for q in keep], dtype=np.uint32)
+    out = RnsPoly(diff, keep, COEFF)
+    return mul_scalar(out, jnp.asarray(qlinv))
+
+
+def to_bigint(p: RnsPoly) -> np.ndarray:
+    """Host: CRT-reconstruct to exact Python-int coefficients (tests)."""
+    data = np.asarray(jax.device_get(p.data))
+    mods = p.moduli
+    Q = 1
+    for q in mods:
+        Q *= q
+    out = np.zeros(data.shape[:-2] + (data.shape[-1],), dtype=object)
+    for i, q in enumerate(mods):
+        qhat = Q // q
+        c = (pow(qhat % q, -1, q) * qhat) % Q
+        out = (out + data[..., i, :].astype(object) * c) % Q
+    return out
+
+
+def from_bigint(vals, moduli: tuple, N: int, fmt: str = COEFF) -> RnsPoly:
+    """Host: exact integers -> RNS residues."""
+    arr = np.asarray(vals, dtype=object)
+    limbs = np.stack([(arr % q).astype(np.uint32) for q in moduli], axis=-2)
+    return RnsPoly(jnp.asarray(limbs.astype(np.uint32)), tuple(moduli), fmt)

@@ -189,6 +189,7 @@ def sum_mod(x, axis: int, q: int):
     reduction between chunks.
     """
     x = u32(x)
+    axis = axis % x.ndim
     n = x.shape[axis]
     if q & (q - 1) == 0:
         return jnp.sum(x, axis=axis, dtype=U32) & u32(q - 1)

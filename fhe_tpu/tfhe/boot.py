@@ -31,14 +31,17 @@ from . import lwe, rgsw
 
 
 @functools.lru_cache(maxsize=None)
-def psi_powers_mont(N: int, Q: int) -> jax.Array:
-    """[2N] table of psi^e mod Q in Montgomery form (psi = 2N-th root)."""
+def psi_powers_mont(N: int, Q: int) -> np.ndarray:
+    """[2N] table of psi^e mod Q in Montgomery form (psi = 2N-th root).
+
+    Returns host numpy (NOT a device array): this is called inside jit
+    traces, and caching a trace-created constant would leak tracers."""
     plan = nttmod.make_plan(N, Q)
     acc, out = 1, np.zeros(2 * N, dtype=np.uint32)
     for e in range(2 * N):
         out[e] = (acc << 32) % Q
         acc = acc * plan.psi % Q
-    return jnp.asarray(out)
+    return out
 
 
 def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
@@ -48,7 +51,7 @@ def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
     out[b, k] = (psi^((2k+1) * idx[b]) - 1) * R mod Q.
     """
     N, Q = params.N, params.Q
-    table = psi_powers_mont(N, Q)
+    table = jnp.asarray(psi_powers_mont(N, Q))
     k2 = (2 * jnp.arange(N, dtype=U32) + 1)[None, :]
     e = (k2 * idx[:, None]) & u32(2 * N - 1)     # 2N is a power of two
     vals = jnp.take(table, e.astype(jnp.int32), axis=0)
@@ -89,24 +92,34 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     return acc
 
 
-def make_gate_test_vector(params: TfheParams, b: jax.Array,
-                          gate: Gate, p: int = 4) -> jax.Array:
-    """Accumulator init m for gate bootstrapping, COEFFICIENT format
-    (binfhe-base-scheme.cpp BootstrapGateCore:536-576).
-
-    b: [B] uint32 LWE body mod q. Returns [B, N] uint32.
-    """
-    N, Q, q = params.N, params.Q, params.q
+def gate_constants(params: TfheParams, gate: Gate, p: int = 4) -> np.ndarray:
+    """Host: [lb, ub, lv, uv] uint32 for the gate test vector
+    (BootstrapGateCore:536-556). Passed traced so every gate shares one
+    compiled pipeline."""
+    Q, q = params.Q, params.q
     q_half = q >> 1
     q1 = params.gate_const(gate)
     q2 = (q1 + q_half) % q
     swap = q1 >= q2
     lb, ub = (q2, q1) if swap else (q1, q2)
     q2p = Q // (p * 2) + 1
-    lv = u32(q2p if swap else Q - q2p)
-    uv = u32(Q - q2p if swap else q2p)
-    factor = N // q_half
+    lv = q2p if swap else Q - q2p
+    uv = Q - q2p if swap else q2p
+    return np.array([lb, ub, lv, uv], dtype=np.uint32)
 
+
+def make_gate_test_vector(params: TfheParams, b: jax.Array,
+                          consts: jax.Array) -> jax.Array:
+    """Accumulator init m for gate bootstrapping, COEFFICIENT format
+    (binfhe-base-scheme.cpp BootstrapGateCore:557-576).
+
+    b: [B] uint32 LWE body mod q; consts: [4] uint32 from gate_constants.
+    Returns [B, N] uint32.
+    """
+    N, q = params.N, params.q
+    q_half = q >> 1
+    lb, ub, lv, uv = consts[0], consts[1], consts[2], consts[3]
+    factor = N // q_half
     j = jnp.arange(q_half, dtype=U32)[None, :]
     bj = sub_mod(b[:, None], j, q)                      # [B, q/2]
     vals = jnp.where((bj >= lb) & (bj < ub), lv, uv)
@@ -142,20 +155,44 @@ def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
     return blind_rotate(params, bsk, acc, a, ntt_impl)
 
 
-def extract_lwe(params: TfheParams, acc: jax.Array, b_offset: int,
+def extract_lwe(params: TfheParams, acc: jax.Array, b_offset,
                 ntt_impl: str | None = None) -> lwe.LweCiphertext:
     """Transpose + constant-term extraction (EvalBinGate :111-124).
 
     The a-poly transpose a(X) -> a(X^(2N-1)) is a flip in natural-order
-    EVALUATION format; b = b_offset + acc1.coef[0] mod Q."""
+    EVALUATION format; b = b_offset + acc1.coef[0] mod Q (b_offset is a
+    uint32 scalar, already reduced mod Q)."""
     Q = params.Q
     plan = nttmod.make_plan(params.N, Q)
     a_t_eval = jnp.flip(acc[:, 0, :], axis=-1)
     both = jnp.stack([a_t_eval, acc[:, 1, :]], axis=1)
     coef = nttmod.ntt_inverse(plan, both, ntt_impl)
     a_coef = coef[:, 0, :]
-    b = add_mod(coef[:, 1, 0], u32(b_offset % Q), Q)
+    b = add_mod(coef[:, 1, 0], u32(b_offset), Q)
     return lwe.LweCiphertext(a=a_coef, b=b, modulus=Q, pt_mod=4)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_finish(params: TfheParams, p: int, extended: bool,
+                   ntt_impl: str | None):
+    """One compiled gate pipeline per (paramset, ptmod, extended): the gate
+    identity enters only through the traced constant vector."""
+    def fn(key: rgsw.BootstrapKey, comb: lwe.LweCiphertext,
+           consts: jax.Array, b_offset: jax.Array) -> lwe.LweCiphertext:
+        Q = params.Q
+        lead = comb.batch_shape
+        a = comb.a.reshape(-1, params.n)
+        b = comb.b.reshape(-1)
+        tv = make_gate_test_vector(params, b, consts)
+        acc = bootstrap_core(params, key.bsk, tv, a, ntt_impl)
+        ct_ext = extract_lwe(params, acc, b_offset, ntt_impl)
+        ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
+                                   b=ct_ext.b.reshape(lead), modulus=Q,
+                                   pt_mod=p)
+        if extended:
+            return ct_ext
+        return lwe.switch_ct_to_qn(params, key.ksk, ct_ext)
+    return jax.jit(fn)
 
 
 def eval_bin_gate(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
@@ -196,31 +233,19 @@ def eval_bin_gate_multi(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
 def _finish_gate(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
                  comb: lwe.LweCiphertext, p: int, extended: bool,
                  ntt_impl: str | None) -> lwe.LweCiphertext:
-    Q = params.Q
-    lead = comb.batch_shape
-    a = comb.a.reshape(-1, params.n)
-    b = comb.b.reshape(-1)
-    tv = make_gate_test_vector(params, b, gate, p)
-    acc = bootstrap_core(params, key.bsk, tv, a, ntt_impl)
-    ct_ext = extract_lwe(params, acc, Q // (p * 2) + 1, ntt_impl)
-    ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
-                               b=ct_ext.b.reshape(lead), modulus=Q, pt_mod=p)
-    if extended:
-        return ct_ext
-    return lwe.switch_ct_to_qn(params, key.ksk, ct_ext)
+    consts = jnp.asarray(gate_constants(params, gate, p))
+    b_offset = jnp.asarray(np.uint32(params.Q // (p * 2) + 1))
+    fn = _jitted_finish(params, p, extended, ntt_impl)
+    return fn(key, comb, consts, b_offset)
 
 
 def bootstrap(params: TfheParams, key: rgsw.BootstrapKey,
               ct: lwe.LweCiphertext, extended: bool = False,
               ntt_impl: str | None = None) -> lwe.LweCiphertext:
-    """Plain refresh bootstrap (Bootstrap :188-220): evaluates the AND-style
-    test vector on ct + (q/4, adjusted) ... implemented as the reference
-    does: add a trivial offset ciphertext then run the AND pipeline."""
+    """Plain refresh bootstrap (Bootstrap :188-218): shifts b by q/4 then
+    runs the AND-gate pipeline on the single ciphertext."""
     q = params.q
-    # reference Bootstrap adds (a=0, b=q/8) then uses gate constant 3q/8
-    # with the same in-range mapping as AND; equivalently run the AND gate
-    # machinery on ct + trivial(q/8).
-    b_shift = add_mod(ct.b, u32(q >> 3), q)
+    b_shift = add_mod(ct.b, u32(q >> 2), q)
     shifted = lwe.LweCiphertext(a=ct.a, b=b_shift, modulus=q,
                                 pt_mod=ct.pt_mod)
     return _finish_gate(params, key, Gate.AND, shifted, ct.pt_mod,

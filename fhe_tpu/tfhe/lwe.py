@@ -150,8 +150,8 @@ def noise(params: TfheParams, sk: LweSecretKey, ct: LweCiphertext,
     inner = _dot_mod(ct.a, s, q)
     r = sub_mod(ct.b, inner, q)
     enc = u32((np.asarray(m) % p) * (q // p))
-    e = sub_mod(r, enc, q).astype(jnp.int64)
-    return jnp.where(e > q // 2, e - q, e)
+    e = sub_mod(r, enc, q).astype(jnp.int32)  # q < 2^31 so signed fits
+    return jnp.where(e > jnp.int32(q // 2), e - jnp.int32(q), e)
 
 
 def add(ct1: LweCiphertext, ct2: LweCiphertext) -> LweCiphertext:
@@ -162,10 +162,10 @@ def add(ct1: LweCiphertext, ct2: LweCiphertext) -> LweCiphertext:
 
 
 def not_(ct: LweCiphertext) -> LweCiphertext:
-    """EvalNOT: (-a, q/2 - b) (binfhe-base-scheme.cpp EvalNOT)."""
+    """EvalNOT: (-a, q/4 - b) (binfhe-base-scheme.cpp EvalNOT:223-236)."""
     q = ct.modulus
     return LweCiphertext(a=neg_mod(ct.a, q),
-                         b=sub_mod(u32(q >> 1), ct.b, q),
+                         b=sub_mod(u32(q >> 2), ct.b, q),
                          modulus=q, pt_mod=ct.pt_mod)
 
 
