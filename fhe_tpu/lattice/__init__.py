@@ -1,0 +1,5 @@
+"""Lattice layer: RNS/DCRT ring elements (reference: src/core/lattice)."""
+
+from . import rns
+
+__all__ = ["rns"]

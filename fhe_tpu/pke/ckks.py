@@ -1,0 +1,244 @@
+"""CKKS (RNS) scheme: canonical-embedding encoding, leveled arithmetic,
+rescaling, rotations, conjugation.
+
+Reference semantics: /root/reference/src/pke/lib/scheme/ckksrns/
+ckksrns-leveledshe.cpp (rescale = DropLastElementAndScale :162-183),
+encoding lib/encoding/ckkspackedencoding.cpp (canonical embedding over the
+5^j subgroup), keyswitch via HYBRID (see rlwe.py).
+
+TPU notes: ciphertexts are RnsPoly pairs [L, N]; all leveled ops are
+pointwise VPU work; rotations are EVAL-format permutations + one key
+switch. Encode/decode run host-side in float64 exactly like the
+reference's double-precision DFT (math/dftransform.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..lattice import rns
+from ..lattice.rns import RnsPoly, COEFF, EVAL
+from . import rlwe
+from .params import PkeParams, make_ckks_params
+
+
+# ---------------------------------------------------------------------------
+# canonical embedding (host, float64)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _embedding_tables(N: int):
+    """Slot order: g_j = 5^j mod 2N, j in [0, N/2); t_j = (g_j - 1) / 2."""
+    slots = N // 2
+    g = np.zeros(slots, dtype=np.int64)
+    cur = 1
+    for j in range(slots):
+        g[j] = cur
+        cur = (cur * 5) % (2 * N)
+    t = (g - 1) // 2
+    t_conj = ((2 * N - g) - 1) // 2
+    zeta_pow = np.exp(1j * np.pi * np.arange(N) / N)   # zeta^k
+    return t, t_conj, zeta_pow
+
+
+def encode(z, N: int, scale: float) -> np.ndarray:
+    """Complex slots [<=N/2] -> integer coefficients [N] (signed int64)."""
+    slots = N // 2
+    z = np.asarray(z, dtype=np.complex128)
+    if z.shape[-1] < slots:
+        # replicate short messages (reference pads by cycling is not used;
+        # we zero-pad like MakeCKKSPackedPlaintext with fewer slots)
+        z = np.concatenate([z, np.zeros(slots - z.shape[-1],
+                                        dtype=np.complex128)])
+    t, t_conj, zeta = _embedding_tables(N)
+    F = np.zeros(N, dtype=np.complex128)
+    F[t] = z
+    F[t_conj] = np.conj(z)
+    w = np.fft.fft(F) / N                # inverse of S = N * ifft(w)
+    m = np.real(w / zeta) * scale
+    return np.rint(m).astype(np.int64)
+
+
+def decode(m: np.ndarray, N: int, scale: float, slots: int | None = None
+           ) -> np.ndarray:
+    """Signed coefficients [N] -> complex slots [N/2]."""
+    t, _t_conj, zeta = _embedding_tables(N)
+    w = m.astype(np.float64) * zeta
+    S = N * np.fft.ifft(w)
+    out = S[t] / scale
+    return out[:slots] if slots else out
+
+
+def _center(big, Q: int) -> np.ndarray:
+    out = np.empty(len(big), dtype=np.float64)
+    half = Q // 2
+    for i, x in enumerate(big):
+        x = int(x)
+        out[i] = float(x - Q) if x > half else float(x)
+    return out
+
+
+def _center_int(big, Q: int) -> list[int]:
+    half = Q // 2
+    return [int(x) - Q if int(x) > half else int(x) for x in big]
+
+
+# ---------------------------------------------------------------------------
+# ciphertext + context
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """CKKS ciphertext: polys in EVAL over the current chain; scale/level
+    tracked statically (FLEXIBLEAUTO-style host bookkeeping)."""
+    c0: RnsPoly
+    c1: RnsPoly
+    scale: float = dataclasses.field(metadata=dict(static=True))
+    c2: RnsPoly | None = None     # degree-2 component before relin
+
+    @property
+    def moduli(self) -> tuple:
+        return self.c0.moduli
+
+    @property
+    def level_limbs(self) -> int:
+        return len(self.c0.moduli)
+
+
+@dataclasses.dataclass
+class CkksContext:
+    params: PkeParams
+
+    @classmethod
+    def create(cls, N: int = 1 << 12, num_levels: int = 6,
+               scale_bits: int = 28, dnum: int = 3) -> "CkksContext":
+        return cls(make_ckks_params(N=N, num_levels=num_levels,
+                                    scale_bits=scale_bits, dnum=dnum))
+
+    @property
+    def scale(self) -> float:
+        return float(1 << self.params.scale_bits)
+
+    # -- keys ---------------------------------------------------------------
+    def keygen(self, rng: np.random.Generator):
+        sk = rlwe.keygen(self.params, rng)
+        pk = rlwe.pubkey_gen(self.params, sk, rng)
+        return sk, pk
+
+    def relin_key_gen(self, sk: rlwe.SecretKey, rng) -> rlwe.EvalKey:
+        mods = tuple(self.params.moduli)
+        s = sk.eval_poly(mods)
+        s2 = rns.mul(s, s)
+        return rlwe.evk_gen(self.params, s2, sk, rng)
+
+    def rotation_key_gen(self, sk: rlwe.SecretKey, rots, rng
+                         ) -> dict[int, rlwe.EvalKey]:
+        """Keys for slot rotations (EvalRotateKeyGen); index r -> galois
+        element 5^r mod 2N."""
+        mods = tuple(self.params.moduli)
+        N = self.params.N
+        out = {}
+        s = sk.eval_poly(mods)
+        for r in rots:
+            k = pow(5, r % (2 * N), 2 * N)
+            s_k = rns.automorphism(s, k)
+            out[r] = rlwe.evk_gen(self.params, s_k, sk, rng)
+        return out
+
+    def conj_key_gen(self, sk: rlwe.SecretKey, rng) -> rlwe.EvalKey:
+        mods = tuple(self.params.moduli)
+        N = self.params.N
+        s_k = rns.automorphism(sk.eval_poly(mods), 2 * N - 1)
+        return rlwe.evk_gen(self.params, s_k, sk, rng)
+
+    # -- encode/encrypt -----------------------------------------------------
+    def make_plaintext(self, z, level_mods: tuple | None = None,
+                       scale: float | None = None) -> tuple[RnsPoly, float]:
+        mods = level_mods or tuple(self.params.moduli)
+        scale = scale or self.scale
+        m = encode(z, self.params.N, scale)
+        return rns.to_eval(rlwe.signed_to_rns(m, mods)), scale
+
+    def encrypt(self, pk: rlwe.PublicKey, z, rng) -> Ciphertext:
+        m, scale = self.make_plaintext(z)
+        c0, c1 = rlwe.encrypt_pk(self.params, pk, m, rng)
+        return Ciphertext(c0=c0, c1=c1, scale=scale)
+
+    def decrypt(self, sk: rlwe.SecretKey, ct: Ciphertext,
+                slots: int | None = None) -> np.ndarray:
+        ph = rlwe.decrypt_phase(sk, ct.c0, ct.c1)
+        if ct.c2 is not None:
+            s = sk.eval_poly(ct.moduli)
+            extra = rns.to_coeff(rns.mul(rns.mul(ct.c2, s), s))
+            ph = rns.add(ph, extra)
+        big = rns.to_bigint(ph)
+        Q = 1
+        for q in ct.moduli:
+            Q *= q
+        m = _center(big, Q)
+        return decode(m, self.params.N, ct.scale, slots)
+
+    # -- leveled ops ----------------------------------------------------------
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert abs(a.scale - b.scale) < 1e-6 * a.scale and a.moduli == b.moduli
+        return Ciphertext(rns.add(a.c0, b.c0), rns.add(a.c1, b.c1), a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert abs(a.scale - b.scale) < 1e-6 * a.scale and a.moduli == b.moduli
+        return Ciphertext(rns.sub(a.c0, b.c0), rns.sub(a.c1, b.c1), a.scale)
+
+    def add_plain(self, a: Ciphertext, z) -> Ciphertext:
+        m, _ = self.make_plaintext(z, a.moduli, a.scale)
+        return Ciphertext(rns.add(a.c0, m), a.c1, a.scale)
+
+    def mul_plain(self, a: Ciphertext, z) -> Ciphertext:
+        m, sc = self.make_plaintext(z, a.moduli, self.scale)
+        return Ciphertext(rns.mul(a.c0, m), rns.mul(a.c1, m), a.scale * sc)
+
+    def mul(self, a: Ciphertext, b: Ciphertext,
+            evk: rlwe.EvalKey | None = None) -> Ciphertext:
+        """Tensor product; relinearizes if evk given, else keeps c2."""
+        assert a.moduli == b.moduli
+        d0 = rns.mul(a.c0, b.c0)
+        d1 = rns.add(rns.mul(a.c0, b.c1), rns.mul(a.c1, b.c0))
+        d2 = rns.mul(a.c1, b.c1)
+        scale = a.scale * b.scale
+        if evk is None:
+            return Ciphertext(d0, d1, scale, c2=d2)
+        k0, k1 = rlwe.key_switch(self.params, evk, d2)
+        return Ciphertext(rns.add(d0, k0), rns.add(d1, k1), scale)
+
+    def square(self, a: Ciphertext, evk: rlwe.EvalKey) -> Ciphertext:
+        return self.mul(a, a, evk)
+
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        """ModReduce: drop last limb, divide scale by it
+        (ckksrns-leveledshe.cpp:162-183)."""
+        q_last = a.moduli[-1]
+        c0 = rns.to_eval(rns.drop_last_element_and_scale(rns.to_coeff(a.c0)))
+        c1 = rns.to_eval(rns.drop_last_element_and_scale(rns.to_coeff(a.c1)))
+        return Ciphertext(c0, c1, a.scale / q_last)
+
+    def rotate(self, a: Ciphertext, r: int,
+               rot_keys: dict[int, rlwe.EvalKey]) -> Ciphertext:
+        """EvalRotate: slot rotation by r via automorphism 5^r + keyswitch."""
+        N = self.params.N
+        k = pow(5, r % (2 * N), 2 * N)
+        c0 = rns.automorphism(a.c0, k)
+        c1 = rns.automorphism(a.c1, k)
+        d0, d1 = rlwe.key_switch(self.params, rot_keys[r], c1)
+        return Ciphertext(rns.add(c0, d0), d1, a.scale)
+
+    def conjugate(self, a: Ciphertext, conj_key: rlwe.EvalKey) -> Ciphertext:
+        N = self.params.N
+        k = 2 * N - 1
+        c0 = rns.automorphism(a.c0, k)
+        c1 = rns.automorphism(a.c1, k)
+        d0, d1 = rlwe.key_switch(self.params, conj_key, c1)
+        return Ciphertext(rns.add(c0, d0), d1, a.scale)

@@ -1,0 +1,146 @@
+"""PKE parameter generation (CKKS/BGV/BFV over 32-bit RNS limbs).
+
+The reference generates moduli chains of up to 60-bit primes
+(ckksrns-parametergeneration.cpp); this framework targets TPU uint32
+arithmetic, so scaling factors are <= 2^28 per limb -- the regime the
+reference calls COMPOSITESCALING for 32-bit words
+(src/pke/unittest/utckksrns/UnitTestCKKSrnsCompositeScaling*.cpp).
+Composite (multi-limb) scaling for higher precision is planned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+from ..math import primes
+
+
+@dataclasses.dataclass(frozen=True)
+class PkeParams:
+    """Common RNS parameters. moduli = (q_0, ..., q_L); special_mods = P."""
+    scheme: str
+    N: int
+    moduli: tuple          # full Q chain (level L = len-1)
+    special_mods: tuple    # P extension primes (HYBRID key switching)
+    num_part_q: int        # dnum: digits in hybrid decomposition
+    scale_bits: int        # log2 of CKKS scaling factor / unused for BGV/BFV
+    plain_mod: int = 0     # t for BGV/BFV
+    std_dev: float = 3.19
+
+    @property
+    def L(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def num_per_part(self) -> int:
+        return -(-self.L // self.num_part_q)
+
+    def q_chain(self, level: int) -> tuple:
+        """Moduli at a given number of remaining limbs."""
+        return self.moduli[:level]
+
+
+def _chain(bits_first: int, bits_rest: int, two_n: int, count: int,
+           avoid=()) -> list[int]:
+    out = []
+    q = (1 << bits_first) - 1
+    bits = bits_first
+    while len(out) < count:
+        p = primes.prev_prime_congruent(q, two_n)
+        if p not in avoid:
+            out.append(p)
+        q = p - 1
+        if len(out) == 1:
+            q = (1 << bits_rest) - 1
+        if p.bit_length() < bits_rest - 2:
+            raise ValueError("prime chain exhausted")
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def make_ckks_params(N: int = 1 << 13, num_levels: int = 8,
+                     scale_bits: int = 28, first_bits: int = 30,
+                     dnum: int = 3, num_special: int | None = None
+                     ) -> PkeParams:
+    """CKKS chain: q0 ~ 2^first_bits, q1..qL ~ 2^scale_bits (each = 1 mod
+    2N so the negacyclic NTT exists), P of ~30-bit primes with |P| >=
+    max part size (keyswitch-hybrid noise requirement)."""
+    two_n = 2 * N
+    q0 = primes.prev_prime_congruent((1 << first_bits) - 1, two_n)
+    rest = []
+    q = (1 << scale_bits) + 1
+    # alternate above/below 2^scale_bits to keep the level scales centered
+    up, down = q, q
+    while len(rest) < num_levels:
+        up = primes.next_prime_congruent(up + 1, two_n)
+        if up != q0 and up not in rest:
+            rest.append(up)
+        if len(rest) >= num_levels:
+            break
+        down = primes.prev_prime_congruent(down - 1, two_n)
+        if down != q0 and down not in rest:
+            rest.append(down)
+    moduli = tuple([q0] + rest[:num_levels])
+    n_sp = num_special if num_special is not None else -(-(len(moduli)) // dnum)
+    sp = []
+    q = (1 << 30) - 1
+    while len(sp) < n_sp:
+        p = primes.prev_prime_congruent(q, two_n)
+        if p not in moduli:
+            sp.append(p)
+        q = p - 1
+    return PkeParams(scheme="CKKS", N=N, moduli=moduli,
+                     special_mods=tuple(sp), num_part_q=dnum,
+                     scale_bits=scale_bits)
+
+
+@functools.lru_cache(maxsize=None)
+def make_bgv_params(N: int = 1 << 13, num_levels: int = 4,
+                    plain_mod: int = 65537, mod_bits: int = 28,
+                    dnum: int = 3) -> PkeParams:
+    """BGV chain: q_i = 1 mod 2N and = 1 mod t (so t | q_i - 1, giving
+    exact modulus switching correction factors)."""
+    two_n = 2 * N
+    lcm = two_n * plain_mod // __import__("math").gcd(two_n, plain_mod)
+    mods = []
+    q = (1 << mod_bits) - 1
+    while len(mods) < num_levels + 1:
+        p = primes.prev_prime_congruent(q, lcm)
+        mods.append(p)
+        q = p - 1
+    n_sp = -(-(len(mods)) // dnum)
+    sp = []
+    q = (1 << 30) - 1
+    while len(sp) < n_sp:
+        p = primes.prev_prime_congruent(q, lcm)
+        if p not in mods:
+            sp.append(p)
+        q = p - 1
+    return PkeParams(scheme="BGV", N=N, moduli=tuple(mods),
+                     special_mods=tuple(sp), num_part_q=dnum,
+                     scale_bits=0, plain_mod=plain_mod)
+
+
+@functools.lru_cache(maxsize=None)
+def make_bfv_params(N: int = 1 << 13, num_limbs: int = 4,
+                    plain_mod: int = 65537, mod_bits: int = 28,
+                    dnum: int = 2) -> PkeParams:
+    two_n = 2 * N
+    mods = []
+    q = (1 << mod_bits) - 1
+    while len(mods) < num_limbs:
+        p = primes.prev_prime_congruent(q, two_n)
+        mods.append(p)
+        q = p - 1
+    n_sp = -(-num_limbs // dnum)
+    sp = []
+    q = (1 << 30) - 1
+    while len(sp) < n_sp:
+        p = primes.prev_prime_congruent(q, two_n)
+        if p not in mods:
+            sp.append(p)
+        q = p - 1
+    return PkeParams(scheme="BFV", N=N, moduli=tuple(mods),
+                     special_mods=tuple(sp), num_part_q=dnum,
+                     scale_bits=0, plain_mod=plain_mod)

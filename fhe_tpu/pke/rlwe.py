@@ -1,0 +1,223 @@
+"""RLWE core shared by the RNS schemes: keys, encryption, HYBRID key
+switching.
+
+Reference semantics: /root/reference/src/pke/lib/keyswitch/
+keyswitch-hybrid.cpp (KeySwitchGenInternal:48-137 -- per-limb P*sOld
+injection inside each digit's limb range; KeySwitchCore:322,
+EvalKeySwitchPrecomputeCore:328-380 -- partition + ApproxModUp;
+EvalFastKeySwitchCore -- inner products over QP then ApproxModDown), and
+base-pke encrypt conventions (c0 = b*u + e0 + m, c1 = a*u + e1 for public
+key (b, a) with b = -a*s + e).
+
+TPU re-architecture: every digit's inner product is one batched pointwise
+Montgomery multiply-accumulate over stacked [dnum, L_qp, N] tensors; the
+limb axis is the natural sharding axis for multi-chip key switching
+(SURVEY SS2.7 P5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..lattice import rns
+from ..lattice.rns import RnsPoly, COEFF, EVAL
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SecretKey:
+    """Ternary secret as signed ints [N] (host) + EVAL residues on the full
+    chain (device); sub-chains are sliced from the full representation."""
+    s_signed: jax.Array           # [N] int32, in {-1,0,1}
+    s_eval_full: jax.Array        # [L_full, N] uint32 EVAL over moduli_full
+    moduli_full: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def eval_poly(self, moduli: tuple) -> RnsPoly:
+        idx = [self.moduli_full.index(q) for q in moduli]
+        return RnsPoly(self.s_eval_full[list(idx), :], tuple(moduli), EVAL)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PublicKey:
+    b: RnsPoly    # -a*s + e   (EVAL, over Q)
+    a: RnsPoly
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EvalKey:
+    """HYBRID switching key: for each digit d, (b_d, a_d) over QP (EVAL).
+
+    b: [dnum, L_qp, N] uint32; a: [dnum, L_qp, N] uint32."""
+    b: jax.Array
+    a: jax.Array
+    moduli_qp: tuple = dataclasses.field(metadata=dict(static=True))
+    num_per_part: int = dataclasses.field(metadata=dict(static=True))
+
+
+def sample_ternary(rng: np.random.Generator, N: int) -> np.ndarray:
+    return rng.integers(-1, 2, size=N, dtype=np.int64)
+
+
+def sample_gauss(rng: np.random.Generator, N: int, std: float) -> np.ndarray:
+    return np.rint(rng.normal(0.0, std, size=N)).astype(np.int64)
+
+
+def signed_to_rns(v: np.ndarray, moduli: tuple, fmt=COEFF) -> RnsPoly:
+    limbs = np.stack([(v % q).astype(np.uint32) for q in moduli], axis=-2)
+    return RnsPoly(jnp.asarray(limbs), tuple(moduli), fmt)
+
+
+def keygen(params, rng: np.random.Generator) -> SecretKey:
+    all_mods = tuple(params.moduli) + tuple(params.special_mods)
+    s = sample_ternary(rng, params.N)
+    sp = rns.to_eval(signed_to_rns(s, all_mods))
+    return SecretKey(s_signed=jnp.asarray(s.astype(np.int32)),
+                     s_eval_full=sp.data, moduli_full=all_mods)
+
+
+def pubkey_gen(params, sk: SecretKey, rng: np.random.Generator,
+               noise_scale: int = 1) -> PublicKey:
+    mods = tuple(params.moduli)
+    a = uniform_poly(rng, mods, params.N)
+    e = rns.to_eval(signed_to_rns(
+        noise_scale * sample_gauss(rng, params.N, params.std_dev), mods))
+    s = sk.eval_poly(mods)
+    b = rns.add(rns.neg(rns.mul(a, s)), e)
+    return PublicKey(b=b, a=a)
+
+
+def uniform_poly(rng: np.random.Generator, moduli: tuple, N: int,
+                 fmt=EVAL) -> RnsPoly:
+    limbs = np.stack([rng.integers(0, q, size=N, dtype=np.int64)
+                      for q in moduli], axis=-2).astype(np.uint32)
+    return RnsPoly(jnp.asarray(limbs), tuple(moduli), fmt)
+
+
+def encrypt_pk(params, pk: PublicKey, m: RnsPoly, rng: np.random.Generator,
+               noise_scale: int = 1) -> tuple[RnsPoly, RnsPoly]:
+    """(c0, c1) = (b*u + ns*e0 + m, a*u + ns*e1); m in EVAL over pk's basis."""
+    mods = pk.b.moduli
+    N = params.N
+    u = rns.to_eval(signed_to_rns(sample_ternary(rng, N), mods))
+    e0 = rns.to_eval(signed_to_rns(
+        noise_scale * sample_gauss(rng, N, params.std_dev), mods))
+    e1 = rns.to_eval(signed_to_rns(
+        noise_scale * sample_gauss(rng, N, params.std_dev), mods))
+    c0 = rns.add(rns.add(rns.mul(pk.b, u), e0), m)
+    c1 = rns.add(rns.mul(pk.a, u), e1)
+    return c0, c1
+
+
+def encrypt_sk(params, sk: SecretKey, m: RnsPoly, rng: np.random.Generator,
+               noise_scale: int = 1) -> tuple[RnsPoly, RnsPoly]:
+    mods = m.moduli
+    a = uniform_poly(rng, mods, params.N)
+    e = rns.to_eval(signed_to_rns(
+        noise_scale * sample_gauss(rng, params.N, params.std_dev), mods))
+    s = sk.eval_poly(mods)
+    c0 = rns.add(rns.add(rns.neg(rns.mul(a, s)), e), m)
+    return c0, a
+
+
+def decrypt_phase(sk: SecretKey, c0: RnsPoly, c1: RnsPoly) -> RnsPoly:
+    """m + e = c0 + c1*s (EVAL in, COEFF out)."""
+    s = sk.eval_poly(c0.moduli)
+    return rns.to_coeff(rns.add(c0, rns.mul(c1, s)))
+
+
+# ---------------------------------------------------------------------------
+# HYBRID key switching
+# ---------------------------------------------------------------------------
+
+def _p_mod_q(p_mods: tuple, q_mods: tuple) -> np.ndarray:
+    P = 1
+    for p in p_mods:
+        P *= p
+    return np.array([P % q for q in q_mods], dtype=np.uint32)
+
+
+def evk_gen(params, s_old: RnsPoly, sk_new: SecretKey,
+            rng: np.random.Generator, noise_scale: int = 1) -> EvalKey:
+    """Switching key s_old -> sk_new (keyswitch-hybrid.cpp:48-137).
+
+    s_old: EVAL poly over the full Q chain (e.g. s^2 for relin, s(X^k) for
+    rotations)."""
+    q_mods = tuple(params.moduli)
+    p_mods = tuple(params.special_mods)
+    qp = q_mods + p_mods
+    L, n_digits = len(q_mods), params.num_part_q
+    npp = params.num_per_part
+    N = params.N
+
+    s_new = sk_new.eval_poly(qp)
+    pmodq = _p_mod_q(p_mods, qp)   # P mod each qp limb (0-ish on P limbs)
+
+    bs, as_ = [], []
+    for d in range(n_digits):
+        a = uniform_poly(rng, qp, N)
+        e = rns.to_eval(signed_to_rns(
+            noise_scale * sample_gauss(rng, N, params.std_dev), qp))
+        b = rns.add(rns.neg(rns.mul(a, s_new)), e)
+        lo, hi = d * npp, min((d + 1) * npp, L)
+        if lo < L:
+            # add P * s_old on limbs [lo, hi) only
+            mask = np.zeros(len(qp), dtype=np.uint32)
+            mask[lo:hi] = 1
+            sel = jnp.asarray(pmodq * mask)
+            # s_old is over Q; extend its limb data onto QP by placing its
+            # residues (only limbs in [lo,hi) matter, all < L)
+            s_old_ext = jnp.zeros((len(qp), N), dtype=jnp.uint32)
+            s_old_ext = s_old_ext.at[:L].set(s_old.data)
+            term = rns.mul_scalar(RnsPoly(s_old_ext, qp, EVAL), sel)
+            b = rns.add(b, term)
+        bs.append(b.data)
+        as_.append(a.data)
+    return EvalKey(b=jnp.stack(bs), a=jnp.stack(as_), moduli_qp=qp,
+                   num_per_part=npp)
+
+
+def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
+    """Apply HYBRID key switch to poly c over (possibly truncated) basis
+    Q_l (KeySwitchCore/EvalFastKeySwitchCore).
+
+    Returns (d0, d1) over c's basis with d0 + d1*s_new = c*s_old + noise.
+    """
+    q_mods = c.moduli
+    L = len(q_mods)
+    p_mods = tuple(params.special_mods)
+    ext_mods = q_mods + p_mods
+    npp = evk.num_per_part
+    n_digits = -(-L // npp)
+    full_q = tuple(params.moduli)
+
+    c_coeff = rns.to_coeff(c)
+    d0 = None
+    d1 = None
+    for d in range(n_digits):
+        lo, hi = d * npp, min((d + 1) * npp, L)
+        part = RnsPoly(c_coeff.data[..., lo:hi, :], q_mods[lo:hi], COEFF)
+        # ModUp part -> Q_l + P
+        up = rns.switch_crt_basis_approx(part, ext_mods)
+        # overwrite the exact limbs we already have
+        up_data = up.data.at[..., lo:hi, :].set(c_coeff.data[..., lo:hi, :])
+        up = rns.to_eval(RnsPoly(up_data, ext_mods, COEFF))
+        # select evk limbs matching Q_l + P from the full QP layout
+        idx = [evk.moduli_qp.index(q) for q in ext_mods]
+        bd = evk.b[d][jnp.asarray(idx), :]
+        ad = evk.a[d][jnp.asarray(idx), :]
+        t0 = rns.mul(up, RnsPoly(bd, ext_mods, EVAL))
+        t1 = rns.mul(up, RnsPoly(ad, ext_mods, EVAL))
+        d0 = t0 if d0 is None else rns.add(d0, t0)
+        d1 = t1 if d1 is None else rns.add(d1, t1)
+    # ModDown by P
+    d0c = rns.to_coeff(d0)
+    d1c = rns.to_coeff(d1)
+    r0 = rns.approx_mod_down(d0c, q_mods, p_mods)
+    r1 = rns.approx_mod_down(d1c, q_mods, p_mods)
+    return rns.to_eval(r0), rns.to_eval(r1)

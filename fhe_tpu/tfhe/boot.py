@@ -60,14 +60,16 @@ def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
 
 
 def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
-                 a: jax.Array, ntt_impl: str | None = None) -> jax.Array:
+                 a: jax.Array, ntt_impl: str | None = None,
+                 a_modulus: int | None = None) -> jax.Array:
     """CGGI accumulation (rgsw-acc-cggi.cpp EvalAcc/AddToAccCGGI).
 
     bsk: [n, 2, dG2, 2, N] uint32 (EVALUATION, Montgomery);
     acc: [B, 2, N] uint32 (EVALUATION, plain form);
-    a:   [B, n] uint32, the LWE mask mod q.
+    a:   [B, n] uint32, the LWE mask mod q (or mod a_modulus if given).
     """
-    N, Q, q = params.N, params.Q, params.q
+    N, Q = params.N, params.Q
+    q = params.q if a_modulus is None else a_modulus
     plan = nttmod.make_plan(N, Q)
     m_by_mod = (2 * N) // q
     # idx_pos[b, i] = ((q - a[b,i]) mod q) * 2N/q, in [0, 2N)
@@ -144,7 +146,8 @@ def make_func_test_vector(params: TfheParams, b: jax.Array, f_table: jax.Array,
 
 
 def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
-                   a: jax.Array, ntt_impl: str | None = None):
+                   a: jax.Array, ntt_impl: str | None = None,
+                   a_modulus: int | None = None):
     """Blind-rotate a COEFFICIENT test vector by the mask `a`; returns the
     accumulator [B, 2, N] in EVALUATION format."""
     plan = nttmod.make_plan(params.N, params.Q)
@@ -152,7 +155,7 @@ def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
     acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
     acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl)[:, None, :]
     acc = jnp.concatenate([acc0, acc1], axis=1)
-    return blind_rotate(params, bsk, acc, a, ntt_impl)
+    return blind_rotate(params, bsk, acc, a, ntt_impl, a_modulus)
 
 
 def extract_lwe(params: TfheParams, acc: jax.Array, b_offset,

@@ -94,3 +94,36 @@ class BinFheContext:
     def bootstrap(self, key: rgsw.BootstrapKey, ct: lwe.LweCiphertext,
                   extended: bool = False) -> lwe.LweCiphertext:
         return boot.bootstrap(self.params, key, ct, extended, self.ntt_impl)
+
+    # -- functional bootstrapping (eprint 2021/1337) -------------------------
+    def generate_lut(self, f, p: int) -> "np.ndarray":
+        from . import funcboot
+        return funcboot.generate_lut(f, p, self.params.q)
+
+    def eval_func(self, key, ct, lut) -> lwe.LweCiphertext:
+        from . import funcboot
+        return funcboot.eval_func(self.params, key, ct, lut,
+                                  ntt_impl=self.ntt_impl)
+
+    def eval_floor(self, key, ct, roundbits: int = 0) -> lwe.LweCiphertext:
+        from . import funcboot
+        return funcboot.eval_floor(self.params, key, ct,
+                                   roundbits=roundbits, ntt_impl=self.ntt_impl)
+
+    def eval_sign(self, key, ct, scheme_switch: bool = False
+                  ) -> lwe.LweCiphertext:
+        from . import funcboot
+        return funcboot.eval_sign(self.params, key, ct,
+                                  scheme_switch=scheme_switch,
+                                  ntt_impl=self.ntt_impl)
+
+    def eval_decomp(self, key, ct) -> list:
+        from . import funcboot
+        return funcboot.eval_decomp(self.params, key, ct,
+                                    ntt_impl=self.ntt_impl)
+
+    @property
+    def max_plaintext_space(self) -> int:
+        """q / (2*beta) (binfhecontext.h:436-439)."""
+        from . import funcboot
+        return self.params.q // (2 * funcboot.BETA)

@@ -1,0 +1,122 @@
+"""CKKS tests: encode/decode, enc/dec, leveled ops, rescale, rotation,
+conjugation -- precision-bounded assertions (the utckksrns analogue)."""
+
+import numpy as np
+import pytest
+
+from fhe_tpu.pke import ckks, rlwe
+from fhe_tpu.lattice import rns
+
+N = 256
+SLOTS = N // 2
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return ckks.CkksContext.create(N=N, num_levels=4, scale_bits=26, dnum=2)
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    rng = np.random.default_rng(11)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    return sk, pk, evk, rng
+
+
+def test_encode_decode_roundtrip(rng):
+    z = rng.normal(size=SLOTS) + 1j * rng.normal(size=SLOTS)
+    m = ckks.encode(z, N, 2.0 ** 26)
+    back = ckks.decode(m, N, 2.0 ** 26)
+    np.testing.assert_allclose(back, z, atol=1e-5)
+
+
+def test_encrypt_decrypt(ctx, keys, rng):
+    sk, pk, _, _ = keys
+    z = rng.normal(size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    got = ctx.decrypt(sk, ct)
+    np.testing.assert_allclose(got.real, z, atol=1e-4)
+    assert np.abs(got.imag).max() < 1e-4
+
+
+def test_add_sub(ctx, keys, rng):
+    sk, pk, _, _ = keys
+    z1 = rng.normal(size=SLOTS)
+    z2 = rng.normal(size=SLOTS)
+    ct1 = ctx.encrypt(pk, z1, rng)
+    ct2 = ctx.encrypt(pk, z2, rng)
+    np.testing.assert_allclose(ctx.decrypt(sk, ctx.add(ct1, ct2)).real,
+                               z1 + z2, atol=1e-4)
+    np.testing.assert_allclose(ctx.decrypt(sk, ctx.sub(ct1, ct2)).real,
+                               z1 - z2, atol=1e-4)
+    np.testing.assert_allclose(ctx.decrypt(sk, ctx.add_plain(ct1, z2)).real,
+                               z1 + z2, atol=1e-4)
+
+
+def test_mul_relin_rescale(ctx, keys, rng):
+    sk, pk, evk, _ = keys
+    z1 = rng.normal(size=SLOTS) * 0.5
+    z2 = rng.normal(size=SLOTS) * 0.5
+    ct1 = ctx.encrypt(pk, z1, rng)
+    ct2 = ctx.encrypt(pk, z2, rng)
+    prod = ctx.mul(ct1, ct2, evk)
+    assert prod.c2 is None
+    got = ctx.decrypt(sk, prod)
+    np.testing.assert_allclose(got.real, z1 * z2, atol=1e-3)
+    # rescale drops a limb and renormalizes the scale
+    rs = ctx.rescale(prod)
+    assert rs.level_limbs == prod.level_limbs - 1
+    got2 = ctx.decrypt(sk, rs)
+    np.testing.assert_allclose(got2.real, z1 * z2, atol=1e-3)
+
+
+def test_mul_no_relin_decrypts(ctx, keys, rng):
+    sk, pk, _, _ = keys
+    z1 = rng.normal(size=SLOTS) * 0.5
+    z2 = rng.normal(size=SLOTS) * 0.5
+    ct1 = ctx.encrypt(pk, z1, rng)
+    ct2 = ctx.encrypt(pk, z2, rng)
+    prod = ctx.mul(ct1, ct2)          # keeps degree-2 component
+    got = ctx.decrypt(sk, prod)
+    np.testing.assert_allclose(got.real, z1 * z2, atol=1e-3)
+
+
+def test_mul_depth2(ctx, keys, rng):
+    sk, pk, evk, _ = keys
+    z = rng.normal(size=SLOTS) * 0.5
+    ct = ctx.encrypt(pk, z, rng)
+    sq = ctx.rescale(ctx.mul(ct, ct, evk))
+    sq2 = ctx.rescale(ctx.mul(sq, sq, evk))
+    got = ctx.decrypt(sk, sq2)
+    np.testing.assert_allclose(got.real, z ** 4, atol=5e-2)
+
+
+def test_mul_plain(ctx, keys, rng):
+    sk, pk, _, _ = keys
+    z1 = rng.normal(size=SLOTS)
+    z2 = rng.normal(size=SLOTS)
+    ct = ctx.encrypt(pk, z1, rng)
+    got = ctx.decrypt(sk, ctx.rescale(ctx.mul_plain(ct, z2)))
+    np.testing.assert_allclose(got.real, z1 * z2, atol=1e-3)
+
+
+def test_rotation(ctx, keys, rng):
+    sk, pk, _, _ = keys
+    rot_keys = ctx.rotation_key_gen(sk, [1, 2, SLOTS - 1], rng)
+    z = rng.normal(size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    for r in (1, 2, SLOTS - 1):
+        got = ctx.decrypt(sk, ctx.rotate(ct, r, rot_keys))
+        want = np.roll(z, -r)   # EvalRotate(+r) = left rotation
+        np.testing.assert_allclose(got.real, want, atol=1e-3,
+                                   err_msg=f"rot {r}")
+
+
+def test_conjugate(ctx, keys, rng):
+    sk, pk, _, _ = keys
+    ck = ctx.conj_key_gen(sk, rng)
+    z = rng.normal(size=SLOTS) + 1j * rng.normal(size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    got = ctx.decrypt(sk, ctx.conjugate(ct, ck))
+    np.testing.assert_allclose(got, np.conj(z), atol=1e-3)
