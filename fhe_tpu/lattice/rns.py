@@ -300,16 +300,27 @@ def expand_crt_basis_approx(p: RnsPoly, ext_mods: tuple) -> RnsPoly:
     return RnsPoly(data, p.moduli + tuple(ext_mods), p.fmt)
 
 
-def approx_mod_down(p: RnsPoly, q_mods: tuple, p_mods: tuple) -> RnsPoly:
-    """ApproxModDown QP -> Q: out = (x - SwitchCRTBasis(x_P)) * P^-1 mod Q.
+def approx_mod_down(p: RnsPoly, q_mods: tuple, p_mods: tuple,
+                    t: int | None = None) -> RnsPoly:
+    """ApproxModDown QP -> Q: out = (x - w) * P^-1 mod Q where w = x mod P
+    (basis-switched up to the +v*P slack).
 
-    p: COEFF poly over q_mods + p_mods. Mirrors dcrtpoly-impl.h ApproxModDown
-    (used by HYBRID key switching to strip the extension modulus P)."""
+    For BGV (t given) the subtracted term is lifted to a multiple of t:
+    w = t * [x_P * t^-1 mod P], so the rounding error stays divisible by
+    the plaintext modulus (dcrtpoly ApproxModDown's tInvModq path).
+
+    p: COEFF poly over q_mods + p_mods."""
     assert p.fmt == COEFF and p.moduli == tuple(q_mods) + tuple(p_mods)
     Lq = len(q_mods)
     x_q = RnsPoly(p.data[..., :Lq, :], tuple(q_mods), COEFF)
     x_p = RnsPoly(p.data[..., Lq:, :], tuple(p_mods), COEFF)
+    if t is not None:
+        tinv = np.array([pow(t % pj, -1, pj) for pj in p_mods],
+                        dtype=np.uint32)
+        x_p = mul_scalar(x_p, jnp.asarray(tinv))
     sw = switch_crt_basis_approx(x_p, tuple(q_mods))
+    if t is not None:
+        sw = mul_scalar(sw, t)
     diff = sub(x_q, sw)
     P = 1
     for m in p_mods:

@@ -99,22 +99,23 @@ def make_ckks_params(N: int = 1 << 13, num_levels: int = 8,
 def make_bgv_params(N: int = 1 << 13, num_levels: int = 4,
                     plain_mod: int = 65537, mod_bits: int = 28,
                     dnum: int = 3) -> PkeParams:
-    """BGV chain: q_i = 1 mod 2N and = 1 mod t (so t | q_i - 1, giving
-    exact modulus switching correction factors)."""
+    """BGV chain: q_i = 1 mod 2N; the qL^-1 plaintext factor introduced by
+    modulus reduction is tracked per-ciphertext (pt_scale) and removed at
+    decryption, like the reference's FLEXIBLEAUTO BGV scaling."""
     two_n = 2 * N
-    lcm = two_n * plain_mod // __import__("math").gcd(two_n, plain_mod)
     mods = []
     q = (1 << mod_bits) - 1
     while len(mods) < num_levels + 1:
-        p = primes.prev_prime_congruent(q, lcm)
-        mods.append(p)
+        p = primes.prev_prime_congruent(q, two_n)
+        if p % plain_mod != 0:
+            mods.append(p)
         q = p - 1
     n_sp = -(-(len(mods)) // dnum)
     sp = []
     q = (1 << 30) - 1
     while len(sp) < n_sp:
-        p = primes.prev_prime_congruent(q, lcm)
-        if p not in mods:
+        p = primes.prev_prime_congruent(q, two_n)
+        if p not in mods and p % plain_mod != 0:
             sp.append(p)
         q = p - 1
     return PkeParams(scheme="BGV", N=N, moduli=tuple(mods),

@@ -215,9 +215,10 @@ def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
         t1 = rns.mul(up, RnsPoly(ad, ext_mods, EVAL))
         d0 = t0 if d0 is None else rns.add(d0, t0)
         d1 = t1 if d1 is None else rns.add(d1, t1)
-    # ModDown by P
+    # ModDown by P (t-corrected for BGV so noise stays divisible by t)
+    t = params.plain_mod if params.scheme == "BGV" else None
     d0c = rns.to_coeff(d0)
     d1c = rns.to_coeff(d1)
-    r0 = rns.approx_mod_down(d0c, q_mods, p_mods)
-    r1 = rns.approx_mod_down(d1c, q_mods, p_mods)
+    r0 = rns.approx_mod_down(d0c, q_mods, p_mods, t)
+    r1 = rns.approx_mod_down(d1c, q_mods, p_mods, t)
     return rns.to_eval(r0), rns.to_eval(r1)
