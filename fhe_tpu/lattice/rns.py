@@ -292,6 +292,66 @@ def switch_crt_basis_approx(p: RnsPoly, to_mods: tuple) -> RnsPoly:
     return RnsPoly(acc, to_mods, COEFF)
 
 
+def switch_crt_basis_exact(p: RnsPoly, to_mods: tuple,
+                           centered: bool = False) -> RnsPoly:
+    """Exact CRT basis switch (HPS fast base conversion with correction):
+    out_j = sum_i y_i * (Q/q_i) - v*Q mod p_j with v = floor(sum y_i/q_i)
+    (or round(...) if centered, lifting the [-Q/2, Q/2) representative) --
+    the reference's SwitchCRTBasis (dcrtpoly-impl.h:1030) with its float
+    correction replaced by 96-bit integer accumulation
+    (modmath.fraction_round_v)."""
+    assert p.fmt == COEFF
+    from ..math.modmath import fraction_round_v, barrett_reduce_u32
+    plan = p.plan
+    to_plan = make_rns_plan(p.N, to_mods)
+    qhat_inv_np, qhat_to_np = _basis_consts(p.moduli, to_mods)
+    qhat_inv, qhat_to = jnp.asarray(qhat_inv_np), jnp.asarray(qhat_to_np)
+    y = mont_mul(p.data, qhat_inv[:, None], _qb(plan),
+                 plan.qinv_neg[:, None])
+    v = fraction_round_v(y, p.moduli, centered)    # [..., N], <= L
+    pq = to_plan.q_arr[:, None]
+    pinv = to_plan.qinv_neg[:, None]
+    terms = mont_mul(y[..., :, None, :], qhat_to[:, :, None], pq, pinv)
+    acc = terms[..., 0, :, :]
+    for i in range(1, len(p.moduli)):
+        acc = add_mod(acc, terms[..., i, :, :], pq)
+    # subtract v*Q mod p_j: Q mod p_j in Montgomery form
+    Q = 1
+    for q in p.moduli:
+        Q *= q
+    qmod = np.array([((Q % pj) << 32) % pj for pj in to_mods],
+                    dtype=np.uint32)
+    vq = mont_mul(v[..., None, :], jnp.asarray(qmod)[:, None], pq, pinv)
+    return RnsPoly(sub_mod(acc, vq, pq), to_mods, COEFF)
+
+
+def scale_and_round_t_over_q(p: RnsPoly, q_mods: tuple, r_mods: tuple,
+                             t: int) -> RnsPoly:
+    """round(t * V / Q) mod R for V over the Q+R basis (BFV HPS
+    ScaleAndRound, dcrtpoly.h:279-301).
+
+    Computed as floor((tV + floor(Q/2)) / Q) = (y - [y]_Q) / Q with
+    y = tV + floor(Q/2): [y]_Q comes from the Q limbs and is carried to R
+    by the exact basis switch."""
+    assert p.fmt == COEFF and p.moduli == tuple(q_mods) + tuple(r_mods)
+    Lq = len(q_mods)
+    Q = 1
+    for q in q_mods:
+        Q *= q
+    half = Q // 2
+    # y = t*V + half on every limb
+    y = mul_scalar(p, t)
+    halves = np.array([half % m for m in p.moduli], dtype=np.uint32)
+    y = RnsPoly(add_mod(y.data, jnp.asarray(halves)[:, None], y._q()),
+                y.moduli, COEFF)
+    y_q = RnsPoly(y.data[..., :Lq, :], tuple(q_mods), COEFF)
+    y_r = RnsPoly(y.data[..., Lq:, :], tuple(r_mods), COEFF)
+    z_r = switch_crt_basis_exact(y_q, tuple(r_mods))   # [y]_Q mod r
+    diff = sub(y_r, z_r)
+    qinv = np.array([pow(Q % r, -1, r) for r in r_mods], dtype=np.uint32)
+    return mul_scalar(diff, jnp.asarray(qinv))
+
+
 def expand_crt_basis_approx(p: RnsPoly, ext_mods: tuple) -> RnsPoly:
     """ApproxModUp Q -> QP (dcrtpoly-impl.h:988): keep Q limbs, append the
     switched P limbs."""

@@ -181,6 +181,54 @@ def reduce_i32(x, q):
     return r.astype(U32)
 
 
+def fraction_round_v(y: jnp.ndarray, mods: tuple,
+                     centered: bool = False) -> jnp.ndarray:
+    """v = floor(sum_i y[..., i, :] / q_i) (centered=False, lifting the
+    unsigned representative in [0, Q)) or round(...) (centered=True,
+    lifting the centered representative in [-Q/2, Q/2)).
+
+    y: uint32 [..., L, N] with y_i < q_i.  Implements the HPS floating-point
+    correction integer-only: each 1/q_i is the 62-bit reciprocal
+    mu_i = floor(2^62 / q_i), products are accumulated in a 96-bit
+    (3 x uint32) accumulator, and v = floor((acc + 2^61) / 2^62).
+    Truncation error < L * 2^-31 relative, so rounding is exact unless the
+    true fractional sum is within L*2^-27 of 1/2 (negligible)."""
+    L = y.shape[-2]
+    mus = [(1 << 62) // q for q in mods]           # up to ~2^42 for small q
+    w0 = jnp.zeros(y.shape[:-2] + y.shape[-1:], dtype=U32)
+    w1 = jnp.zeros_like(w0)
+    w2 = jnp.zeros_like(w0)
+
+    def acc(w0, w1, w2, add0, add1):
+        """(w2:w1:w0) += (add1:add0), all uint32 words."""
+        nw0 = w0 + add0
+        c0 = (nw0 < add0).astype(U32)
+        t = w1 + add1
+        ca = (t < add1).astype(U32)
+        nw1 = t + c0
+        cb = (nw1 < c0).astype(U32)
+        return nw0, nw1, w2 + ca + cb
+
+    for i in range(L):
+        mu = mus[i]
+        mu_lo, mu_hi = mu & 0xFFFFFFFF, mu >> 32
+        yi = y[..., i, :]
+        h1, l1 = mul32_parts(yi, u32(mu_lo))
+        w0, w1, w2 = acc(w0, w1, w2, l1, h1)
+        if mu_hi:
+            h2, l2 = mul32_parts(yi, u32(mu_hi))   # contributes at +32 bits
+            w0, w1, w2 = acc(w0, w1, w2, jnp.zeros_like(w0), l2)
+            w2 = w2 + h2
+    if centered:
+        # add 2^61 for round-half-up: touches w1 bit 29
+        r = u32(1 << 29)
+        nw1 = w1 + r
+        w2 = w2 + (nw1 < r).astype(U32)
+        w1 = nw1
+    # v = floor(total / 2^62) = (w2 << 2) | (w1 >> 30)
+    return (w2 << 2) | (w1 >> 30)
+
+
 def sum_mod(x, axis: int, q: int):
     """Sum of uint32 values in [0, q) along `axis`, mod q, without overflow.
 
