@@ -1,0 +1,68 @@
+"""Serialization round-trips for every key/ciphertext type (the
+UnitTestSerialize / boolean-serial-{binary,json} analogue)."""
+
+import numpy as np
+import pytest
+
+from fhe_tpu.utils import serial
+from fhe_tpu.tfhe import BinFheContext, Gate, lwe
+from fhe_tpu.pke import ckks
+
+
+def _eq_tree(a, b):
+    import jax
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("mode", ["binary", "json"])
+def test_lwe_roundtrip(mode, rng):
+    ctx = BinFheContext.generate("TOY")
+    sk = ctx.key_gen(rng)
+    ct = ctx.encrypt(sk, np.array([1, 0, 3, 2]), rng)
+    blob = serial.dumps(ct, mode)
+    back = serial.loads(blob, mode)
+    _eq_tree(ct, back)
+    assert back.modulus == ct.modulus and back.pt_mod == ct.pt_mod
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, back)),
+                                  np.asarray(ctx.decrypt(sk, ct)))
+
+
+def test_bootstrap_key_roundtrip(rng):
+    ctx = BinFheContext.generate("TOY")
+    sk = ctx.key_gen(rng)
+    key = ctx.bt_key_gen(sk, rng)
+    blob = serial.dumps(key)
+    back = serial.loads(blob)
+    _eq_tree(key, back)
+    # the deserialized key still evaluates gates correctly
+    m1, m2 = np.array([1, 0]), np.array([1, 1])
+    ct1, ct2 = ctx.encrypt(sk, m1, rng), ctx.encrypt(sk, m2, rng)
+    out = ctx.eval_bin_gate(back, Gate.AND, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out, p=4)),
+                                  m1 & m2)
+
+
+def test_ckks_ct_and_keys_roundtrip(rng):
+    ctx = ckks.CkksContext.create(N=128, num_levels=3, scale_bits=26, dnum=2)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    z = rng.normal(size=64)
+    ct = ctx.encrypt(pk, z, rng)
+    for obj in (sk, pk, evk, ct):
+        back = serial.loads(serial.dumps(obj))
+        _eq_tree(obj, back)
+    ct2 = serial.loads(serial.dumps(ct))
+    np.testing.assert_allclose(ctx.decrypt(sk, ct2).real, z, atol=1e-3)
+
+
+def test_file_roundtrip(tmp_path, rng):
+    ctx = BinFheContext.generate("TOY")
+    sk = ctx.key_gen(rng)
+    p = str(tmp_path / "sk.fhe")
+    serial.save(sk, p)
+    back = serial.load(p)
+    _eq_tree(sk, back)
