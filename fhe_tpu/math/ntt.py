@@ -82,7 +82,12 @@ def _build_digit_matrix(W: np.ndarray, q: int, d_in: int, d_out: int,
 @dataclasses.dataclass(frozen=True)
 class NttPlan:
     """Per-(N, q) precomputed tables.  Arrays are device-placeable pytree
-    leaves; N/q and derived Python ints are static metadata."""
+    leaves; N/q and derived Python ints are static metadata.
+
+    The plan holds only the O(N) butterfly tables; the O(N^2) dense MXU
+    matrices live in MxuTables (make_mxu), built lazily and passed as jit
+    ARGUMENTS (never closed over) so they are not baked into jaxprs as
+    multi-MB constants."""
 
     # static
     N: int = dataclasses.field(metadata=dict(static=True))
@@ -104,10 +109,47 @@ class NttPlan:
     # recombination weights 2^(7v) mod q, with shoup companions: [d_out]
     comb_w: jax.Array
     comb_ws: jax.Array
-    # MXU tables (int8)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MxuTables:
+    """Dense int8 digit-plane DFT matrices for the MXU path (O(d^2 N^2)
+    bytes -- used for the TFHE ring sizes N <= 4096; larger PKE rings use
+    the butterfly path / four-step decomposition)."""
     Wf: jax.Array         # [d_full*N, d_out*N] forward
     Wi: jax.Array         # [d_full*N, d_out*N] inverse (N^-1 folded)
-    Wf_s2: jax.Array      # [2*N, d_out*N] forward for balanced base-128 2-plane signed input
+    Wf_s2: jax.Array      # [2*N, d_out*N] forward, balanced base-128 signed
+
+
+@functools.lru_cache(maxsize=None)
+def make_mxu(N: int, q: int) -> MxuTables:
+    """Lazy dense MXU matrices for (N, q)."""
+    plan = make_plan(N, q)
+    psi, d_full, d_out = plan.psi, plan.d_full, plan.d_out
+    ninv = pow(N, -1, q)
+    psi_inv = pow(psi, -1, q)
+    i_idx = np.arange(N, dtype=np.int64)
+    psi_pows = np.zeros(2 * N, dtype=np.uint64)
+    acc = 1
+    for e in range(2 * N):
+        psi_pows[e] = acc
+        acc = acc * psi % q
+    expo_f = (np.outer(i_idx, 2 * i_idx + 1)) % (2 * N)
+    Wf_full = psi_pows[expo_f]
+    psi_inv_pows = np.zeros(2 * N, dtype=np.uint64)
+    acc = 1
+    for e in range(2 * N):
+        psi_inv_pows[e] = acc
+        acc = acc * psi_inv % q
+    expo_i = (np.outer(2 * i_idx + 1, i_idx)) % (2 * N)
+    Wi_full = (psi_inv_pows[expo_i] * np.uint64(ninv)) % np.uint64(q)
+    in_w_full = [1 << (7 * u) for u in range(d_full)]
+    Wf = _build_digit_matrix(Wf_full, q, d_full, d_out, in_w_full)
+    Wi = _build_digit_matrix(Wi_full, q, d_full, d_out, in_w_full)
+    Wf_s2 = _build_digit_matrix(Wf_full, q, 2, d_out, [1, 128])
+    return MxuTables(Wf=jnp.asarray(Wf), Wi=jnp.asarray(Wi),
+                     Wf_s2=jnp.asarray(Wf_s2))
 
 
 @functools.lru_cache(maxsize=None)
@@ -129,30 +171,6 @@ def make_plan(N: int, q: int) -> NttPlan:
     d_full = max(1, -(-q.bit_length() // 7))
     d_out = d_full
 
-    # forward matrix W[i, k] = psi^(i*(2k+1))
-    i_idx = np.arange(N, dtype=np.int64)
-    # exponents mod 2N; table of psi^e for e in [0, 2N)
-    psi_pows = np.zeros(2 * N, dtype=np.uint64)
-    acc = 1
-    for e in range(2 * N):
-        psi_pows[e] = acc
-        acc = acc * psi % q
-    expo_f = (np.outer(i_idx, 2 * i_idx + 1)) % (2 * N)
-    Wf_full = psi_pows[expo_f]                      # [i, k]
-    # inverse matrix Wi[k, i] = N^-1 * psi^(-i*(2k+1))
-    psi_inv_pows = np.zeros(2 * N, dtype=np.uint64)
-    acc = 1
-    for e in range(2 * N):
-        psi_inv_pows[e] = acc
-        acc = acc * psi_inv % q
-    expo_i = (np.outer(2 * i_idx + 1, i_idx)) % (2 * N)   # [k, i]
-    Wi_full = (psi_inv_pows[expo_i] * np.uint64(ninv)) % np.uint64(q)
-
-    in_w_full = [1 << (7 * u) for u in range(d_full)]
-    Wf = _build_digit_matrix(Wf_full, q, d_full, d_out, in_w_full)
-    Wi = _build_digit_matrix(Wi_full, q, d_full, d_out, in_w_full)
-    Wf_s2 = _build_digit_matrix(Wf_full, q, 2, d_out, [1, 128])
-
     comb_w = np.array([(1 << (7 * v)) % q for v in range(d_out)], dtype=np.uint32)
     comb_ws = np.array([shoup_precompute(int(w), q) for w in comb_w],
                        dtype=np.uint32)
@@ -166,7 +184,6 @@ def make_plan(N: int, q: int) -> NttPlan:
         ninv_s=jnp.asarray(np.uint32(shoup_precompute(ninv, q))),
         br=jnp.asarray(br),
         comb_w=jnp.asarray(comb_w), comb_ws=jnp.asarray(comb_ws),
-        Wf=jnp.asarray(Wf), Wi=jnp.asarray(Wi), Wf_s2=jnp.asarray(Wf_s2),
     )
 
 
@@ -242,30 +259,36 @@ def _matmul_recombine(plan: NttPlan, planes_i8: jax.Array, W: jax.Array) -> jax.
     return res
 
 
-def forward_mxu(plan: NttPlan, x: jax.Array) -> jax.Array:
+def forward_mxu(plan: NttPlan, x: jax.Array,
+                mxu: MxuTables | None = None) -> jax.Array:
     """[..., N] uint32 COEFFICIENT -> EVALUATION via one int8 MXU matmul."""
+    mxu = mxu if mxu is not None else make_mxu(plan.N, plan.q)
     lead = x.shape[:-1]
     planes = _decompose_u32_planes(x.reshape(-1, plan.N), plan.d_full)
-    return _matmul_recombine(plan, planes, plan.Wf).reshape(*lead, plan.N)
+    return _matmul_recombine(plan, planes, mxu.Wf).reshape(*lead, plan.N)
 
 
-def inverse_mxu(plan: NttPlan, x: jax.Array) -> jax.Array:
+def inverse_mxu(plan: NttPlan, x: jax.Array,
+                mxu: MxuTables | None = None) -> jax.Array:
     """[..., N] uint32 EVALUATION -> COEFFICIENT via one int8 MXU matmul."""
+    mxu = mxu if mxu is not None else make_mxu(plan.N, plan.q)
     lead = x.shape[:-1]
     planes = _decompose_u32_planes(x.reshape(-1, plan.N), plan.d_full)
-    return _matmul_recombine(plan, planes, plan.Wi).reshape(*lead, plan.N)
+    return _matmul_recombine(plan, planes, mxu.Wi).reshape(*lead, plan.N)
 
 
-def forward_mxu_signed2(plan: NttPlan, lo_i8: jax.Array, hi_i8: jax.Array) -> jax.Array:
+def forward_mxu_signed2(plan: NttPlan, lo_i8: jax.Array, hi_i8: jax.Array,
+                        mxu: MxuTables | None = None) -> jax.Array:
     """Forward NTT of small signed inputs x = lo + 128*hi (|x| <= ~2^13).
 
     lo/hi: [..., N] int8 balanced base-128 planes (from gadget decomposition).
     Half-width matmul against Wf_s2.
     """
+    mxu = mxu if mxu is not None else make_mxu(plan.N, plan.q)
     lead = lo_i8.shape[:-1]
     planes = jnp.concatenate([lo_i8.reshape(-1, plan.N),
                               hi_i8.reshape(-1, plan.N)], axis=-1)
-    return _matmul_recombine(plan, planes, plan.Wf_s2).reshape(*lead, plan.N)
+    return _matmul_recombine(plan, planes, mxu.Wf_s2).reshape(*lead, plan.N)
 
 
 def balanced_base128(x_i32: jax.Array):
@@ -284,14 +307,18 @@ def _use_mxu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def ntt_forward(plan: NttPlan, x: jax.Array, impl: Optional[str] = None) -> jax.Array:
+def ntt_forward(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
+                mxu: MxuTables | None = None) -> jax.Array:
     impl = impl or ("mxu" if _use_mxu() else "butterfly")
-    return forward_mxu(plan, x) if impl == "mxu" else forward_butterfly(plan, x)
+    return (forward_mxu(plan, x, mxu) if impl == "mxu"
+            else forward_butterfly(plan, x))
 
 
-def ntt_inverse(plan: NttPlan, x: jax.Array, impl: Optional[str] = None) -> jax.Array:
+def ntt_inverse(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
+                mxu: MxuTables | None = None) -> jax.Array:
     impl = impl or ("mxu" if _use_mxu() else "butterfly")
-    return inverse_mxu(plan, x) if impl == "mxu" else inverse_butterfly(plan, x)
+    return (inverse_mxu(plan, x, mxu) if impl == "mxu"
+            else inverse_butterfly(plan, x))
 
 
 def to_mont(plan: NttPlan, x: jax.Array) -> jax.Array:

@@ -1,0 +1,192 @@
+"""Advanced SHE: EvalSum, inner products, linear weighted sums, polynomial
+and Chebyshev series evaluation, linear transforms.
+
+Reference semantics: /root/reference/src/pke/lib/schemebase/
+base-advancedshe.cpp (EvalSum via log-rotations :~, EvalInnerProduct,
+EvalLinearWSum) and ckksrns-advancedshe.cpp (EvalPolyLinear,
+EvalChebyshevSeries); API surface cryptocontext.h:2708-2807.
+
+CKKS level/scale alignment follows the FLEXIBLEAUTO pattern
+(rns-leveledshe.cpp EvalMult auto-adjust :182-191): ciphertexts are
+brought to a common basis by scalar-adjusted rescales before adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..lattice import rns
+from . import rlwe
+from .ckks import CkksContext, Ciphertext
+
+
+# ---------------------------------------------------------------------------
+# level/scale alignment (FLEXIBLEAUTO)
+# ---------------------------------------------------------------------------
+
+def adjust_to(ctx: CkksContext, ct: Ciphertext, target_mods: tuple,
+              target_scale: float) -> Ciphertext:
+    """Bring ct to the target basis with (approximately) the target scale:
+    plain rescales down to one level above, then one scalar-adjusted
+    rescale (the reference's AdjustLevelsAndDepth)."""
+    assert len(ct.moduli) >= len(target_mods)
+    while len(ct.moduli) > len(target_mods) + 1:
+        ct = ctx.rescale(ct)
+    if len(ct.moduli) == len(target_mods) + 1:
+        q_last = ct.moduli[-1]
+        c = max(1, round(target_scale * q_last / ct.scale))
+        ct = Ciphertext(rns.mul_scalar(ct.c0, c), rns.mul_scalar(ct.c1, c),
+                        ct.scale * c)
+        ct = ctx.rescale(ct)
+    return ct
+
+
+def add_aligned(ctx: CkksContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Add with automatic level/scale matching."""
+    if len(a.moduli) > len(b.moduli):
+        a = adjust_to(ctx, a, b.moduli, b.scale)
+    elif len(b.moduli) > len(a.moduli):
+        b = adjust_to(ctx, b, a.moduli, a.scale)
+    # scales now match to ~2^-28 relative; treat as equal
+    b = Ciphertext(b.c0, b.c1, a.scale)
+    return ctx.add(a, b)
+
+
+def mul_aligned(ctx: CkksContext, a: Ciphertext, b: Ciphertext,
+                evk: rlwe.EvalKey) -> Ciphertext:
+    if len(a.moduli) > len(b.moduli):
+        a = adjust_to(ctx, a, b.moduli, b.scale)
+    elif len(b.moduli) > len(a.moduli):
+        b = adjust_to(ctx, b, a.moduli, a.scale)
+    return ctx.rescale(ctx.mul(a, b, evk))
+
+
+# ---------------------------------------------------------------------------
+# rotations-based aggregation
+# ---------------------------------------------------------------------------
+
+def sum_key_gen(ctx: CkksContext, sk, rng, batch: int | None = None) -> dict:
+    """Rotation keys for EvalSum's log tree (EvalSumKeyGen)."""
+    slots = batch or ctx.params.N // 2
+    rots = [1 << i for i in range(int(np.log2(slots)))]
+    return ctx.rotation_key_gen(sk, rots, rng)
+
+
+def eval_sum(ctx: CkksContext, ct: Ciphertext, batch: int,
+             rot_keys: dict) -> Ciphertext:
+    """Sum the first `batch` slots into every slot (EvalSum: log2(batch)
+    rotate-and-add rounds)."""
+    assert batch & (batch - 1) == 0
+    out = ct
+    r = 1
+    while r < batch:
+        out = ctx.add(out, ctx.rotate(out, r, rot_keys))
+        r <<= 1
+    return out
+
+
+def eval_inner_product(ctx: CkksContext, a: Ciphertext, b: Ciphertext,
+                       batch: int, evk: rlwe.EvalKey,
+                       rot_keys: dict) -> Ciphertext:
+    """<a, b> over the first `batch` slots (EvalInnerProduct)."""
+    prod = mul_aligned(ctx, a, b, evk)
+    return eval_sum(ctx, prod, batch, rot_keys)
+
+
+def eval_linear_wsum(ctx: CkksContext, cts: list[Ciphertext],
+                     weights) -> Ciphertext:
+    """sum_i w_i * ct_i for real weights (EvalLinearWSum)."""
+    acc = None
+    for ct, w in zip(cts, weights):
+        term = ctx.mul_plain(ct, np.full(ctx.params.N // 2, float(w)))
+        acc = term if acc is None else add_aligned(ctx, acc, term)
+    return ctx.rescale(acc)
+
+
+# ---------------------------------------------------------------------------
+# polynomial evaluation
+# ---------------------------------------------------------------------------
+
+def eval_poly(ctx: CkksContext, ct: Ciphertext, coeffs,
+              evk: rlwe.EvalKey) -> Ciphertext:
+    """Power-basis polynomial sum_k c_k x^k (EvalPolyLinear): powers built
+    by repeated squaring-free linear chain; depth = deg."""
+    coeffs = [float(c) for c in coeffs]
+    acc = None
+    power = None   # x^k ciphertext
+    for k, c in enumerate(coeffs):
+        if k == 0:
+            continue
+        power = ct if power is None else mul_aligned(ctx, power, ct, evk)
+        if abs(c) < 1e-12:
+            continue
+        term = ctx.rescale(ctx.mul_plain(
+            power, np.full(ctx.params.N // 2, c)))
+        acc = term if acc is None else add_aligned(ctx, acc, term)
+    if abs(coeffs[0]) > 1e-12:
+        const = np.full(ctx.params.N // 2, coeffs[0])
+        if acc is None:
+            raise ValueError("constant-only polynomial")
+        acc = ctx.add_plain(Ciphertext(acc.c0, acc.c1, acc.scale), const)
+    return acc
+
+
+def eval_chebyshev_series(ctx: CkksContext, ct: Ciphertext, coeffs,
+                          a: float, b: float,
+                          evk: rlwe.EvalKey) -> Ciphertext:
+    """sum_k c_k T_k(y), y = (2x - a - b)/(b - a) (EvalChebyshevSeries,
+    linear three-term recurrence T_{k+1} = 2 y T_k - T_{k-1}; the
+    Paterson-Stockmeyer variant is planned for large degrees)."""
+    coeffs = [float(c) for c in coeffs]
+    slots = ctx.params.N // 2
+    # y = alpha*x + beta
+    alpha = 2.0 / (b - a)
+    beta = -(a + b) / (b - a)
+    y = ctx.rescale(ctx.mul_plain(ct, np.full(slots, alpha)))
+    y = ctx.add_plain(y, np.full(slots, beta))
+
+    t_prev = None          # T_0 handled as plaintext 1
+    t_cur = y              # T_1
+    acc = ctx.rescale(ctx.mul_plain(y, np.full(slots, coeffs[1]))) \
+        if len(coeffs) > 1 else None
+    for k in range(2, len(coeffs)):
+        two_y_t = mul_aligned(ctx, y, t_cur, evk)
+        two_y_t = Ciphertext(rns.mul_scalar(two_y_t.c0, 2),
+                             rns.mul_scalar(two_y_t.c1, 2), two_y_t.scale)
+        if t_prev is None:
+            # T_2 = 2 y T_1 - T_0, T_0 = 1
+            t_next = ctx.add_plain(two_y_t, np.full(slots, -1.0))
+        else:
+            t_next = add_aligned(
+                ctx, two_y_t,
+                Ciphertext(rns.neg(t_prev.c0), rns.neg(t_prev.c1),
+                           t_prev.scale))
+        t_prev, t_cur = t_cur, t_next
+        if abs(coeffs[k]) > 1e-12:
+            term = ctx.rescale(ctx.mul_plain(
+                t_cur, np.full(slots, coeffs[k])))
+            acc = term if acc is None else add_aligned(ctx, acc, term)
+    if abs(coeffs[0]) > 1e-12 and acc is not None:
+        acc = ctx.add_plain(acc, np.full(slots, coeffs[0]))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# linear transforms (matrix x slot-vector, BSGS)
+# ---------------------------------------------------------------------------
+
+def eval_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
+                          rot_keys: dict) -> Ciphertext:
+    """y = M @ slots(ct) via the diagonal method: y = sum_d diag_d(M) *
+    rot(ct, d) (the dense-matrix EvalLinearTransform used by CKKS
+    bootstrapping's CoeffsToSlots when the level budget is 1)."""
+    n = M.shape[0]
+    acc = None
+    for d in range(n):
+        diag = np.array([M[i, (i + d) % n] for i in range(n)])
+        if not np.any(np.abs(diag) > 1e-12):
+            continue
+        rct = ct if d == 0 else ctx.rotate(ct, d, rot_keys)
+        term = ctx.mul_plain(rct, diag)
+        acc = term if acc is None else ctx.add(acc, term)
+    return ctx.rescale(acc)

@@ -61,7 +61,9 @@ def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
 
 def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
                  a: jax.Array, ntt_impl: str | None = None,
-                 a_modulus: int | None = None) -> jax.Array:
+                 a_modulus: int | None = None,
+                 plan: nttmod.NttPlan | None = None,
+                 mxu: "nttmod.MxuTables | None" = None) -> jax.Array:
     """CGGI accumulation (rgsw-acc-cggi.cpp EvalAcc/AddToAccCGGI).
 
     bsk: [n, 2, dG2, 2, N] uint32 (EVALUATION, Montgomery);
@@ -70,7 +72,7 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     """
     N, Q = params.N, params.Q
     q = params.q if a_modulus is None else a_modulus
-    plan = nttmod.make_plan(N, Q)
+    plan = plan if plan is not None else nttmod.make_plan(N, Q)
     m_by_mod = (2 * N) // q
     # idx_pos[b, i] = ((q - a[b,i]) mod q) * 2N/q, in [0, 2N)
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by_mod)) & u32(2 * N - 1)
@@ -78,9 +80,9 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
 
     def step(acc, xs):
         bsk_i, ip, ineg = xs           # [2, dG2, 2, N], [B], [B]
-        c = nttmod.ntt_inverse(plan, acc, ntt_impl)          # [B, 2, N]
+        c = nttmod.ntt_inverse(plan, acc, ntt_impl, mxu)     # [B, 2, N]
         digits = rgsw.signed_digit_decompose(params, c)      # [B, dG2, N]
-        d_eval = rgsw.ntt_signed_digits(plan, digits, ntt_impl)
+        d_eval = rgsw.ntt_signed_digits(plan, digits, ntt_impl, mxu)
         ep_pos = rgsw.external_product(plan, d_eval, bsk_i[0])  # [B, 2, N]
         ep_neg = rgsw.external_product(plan, d_eval, bsk_i[1])
         mono_p = monomial_minus_one_eval(params, ip)[:, None, :]
@@ -147,32 +149,47 @@ def make_func_test_vector(params: TfheParams, b: jax.Array, f_table: jax.Array,
 
 def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
                    a: jax.Array, ntt_impl: str | None = None,
-                   a_modulus: int | None = None):
+                   a_modulus: int | None = None,
+                   plan: nttmod.NttPlan | None = None,
+                   mxu: "nttmod.MxuTables | None" = None):
     """Blind-rotate a COEFFICIENT test vector by the mask `a`; returns the
     accumulator [B, 2, N] in EVALUATION format."""
-    plan = nttmod.make_plan(params.N, params.Q)
+    plan = plan if plan is not None else nttmod.make_plan(params.N, params.Q)
     B = test_vec.shape[0]
     acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
-    acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl)[:, None, :]
+    acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl, mxu)[:, None, :]
     acc = jnp.concatenate([acc0, acc1], axis=1)
-    return blind_rotate(params, bsk, acc, a, ntt_impl, a_modulus)
+    return blind_rotate(params, bsk, acc, a, ntt_impl, a_modulus, plan, mxu)
 
 
 def extract_lwe(params: TfheParams, acc: jax.Array, b_offset,
-                ntt_impl: str | None = None) -> lwe.LweCiphertext:
+                ntt_impl: str | None = None,
+                plan: nttmod.NttPlan | None = None,
+                mxu: "nttmod.MxuTables | None" = None) -> lwe.LweCiphertext:
     """Transpose + constant-term extraction (EvalBinGate :111-124).
 
     The a-poly transpose a(X) -> a(X^(2N-1)) is a flip in natural-order
     EVALUATION format; b = b_offset + acc1.coef[0] mod Q (b_offset is a
     uint32 scalar, already reduced mod Q)."""
     Q = params.Q
-    plan = nttmod.make_plan(params.N, Q)
+    plan = plan if plan is not None else nttmod.make_plan(params.N, Q)
     a_t_eval = jnp.flip(acc[:, 0, :], axis=-1)
     both = jnp.stack([a_t_eval, acc[:, 1, :]], axis=1)
-    coef = nttmod.ntt_inverse(plan, both, ntt_impl)
+    coef = nttmod.ntt_inverse(plan, both, ntt_impl, mxu)
     a_coef = coef[:, 0, :]
     b = add_mod(coef[:, 1, 0], u32(b_offset), Q)
     return lwe.LweCiphertext(a=a_coef, b=b, modulus=Q, pt_mod=4)
+
+
+def resolve_ntt(params: TfheParams, ntt_impl: str | None):
+    """Host: resolve the NTT implementation and fetch plan + (lazy) MXU
+    tables.  Tables are returned so callers pass them as jit ARGUMENTS --
+    closing over them would bake multi-MB constants into every jaxpr."""
+    impl = ntt_impl or ("mxu" if jax.default_backend() == "tpu"
+                        else "butterfly")
+    plan = nttmod.make_plan(params.N, params.Q)
+    mxu = nttmod.make_mxu(params.N, params.Q) if impl == "mxu" else None
+    return impl, plan, mxu
 
 
 @functools.lru_cache(maxsize=None)
@@ -181,14 +198,16 @@ def _jitted_finish(params: TfheParams, p: int, extended: bool,
     """One compiled gate pipeline per (paramset, ptmod, extended): the gate
     identity enters only through the traced constant vector."""
     def fn(key: rgsw.BootstrapKey, comb: lwe.LweCiphertext,
-           consts: jax.Array, b_offset: jax.Array) -> lwe.LweCiphertext:
+           consts: jax.Array, b_offset: jax.Array,
+           plan, mxu) -> lwe.LweCiphertext:
         Q = params.Q
         lead = comb.batch_shape
         a = comb.a.reshape(-1, params.n)
         b = comb.b.reshape(-1)
         tv = make_gate_test_vector(params, b, consts)
-        acc = bootstrap_core(params, key.bsk, tv, a, ntt_impl)
-        ct_ext = extract_lwe(params, acc, b_offset, ntt_impl)
+        acc = bootstrap_core(params, key.bsk, tv, a, ntt_impl,
+                             plan=plan, mxu=mxu)
+        ct_ext = extract_lwe(params, acc, b_offset, ntt_impl, plan, mxu)
         ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
                                    b=ct_ext.b.reshape(lead), modulus=Q,
                                    pt_mod=p)
@@ -238,8 +257,9 @@ def _finish_gate(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
                  ntt_impl: str | None) -> lwe.LweCiphertext:
     consts = jnp.asarray(gate_constants(params, gate, p))
     b_offset = jnp.asarray(np.uint32(params.Q // (p * 2) + 1))
-    fn = _jitted_finish(params, p, extended, ntt_impl)
-    return fn(key, comb, consts, b_offset)
+    impl, plan, mxu = resolve_ntt(params, ntt_impl)
+    fn = _jitted_finish(params, p, extended, impl)
+    return fn(key, comb, consts, b_offset, plan, mxu)
 
 
 def bootstrap(params: TfheParams, key: rgsw.BootstrapKey,

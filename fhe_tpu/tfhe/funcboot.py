@@ -62,15 +62,16 @@ def bootstrap_func(params: TfheParams, key: rgsw.BootstrapKey,
     """BootstrapFunc (:630-650): functional bootstrap with LUT f_table
     over Z_{ct.modulus} -> Z_{f_mod}; output modulus f_mod."""
     ct_mod = ct.modulus
-    fn = _jitted_func_boot(params, ct_mod, f_mod, ct.pt_mod, ntt_impl)
+    impl, plan, mxu = boot.resolve_ntt(params, ntt_impl)
+    fn = _jitted_func_boot(params, ct_mod, f_mod, ct.pt_mod, impl)
     tbl = jnp.asarray(np.asarray(f_table, dtype=np.uint32))
-    return fn(key, ct, tbl)
+    return fn(key, ct, tbl, plan, mxu)
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_func_boot(params: TfheParams, ct_mod: int, f_mod: int,
                       pt_mod: int, ntt_impl: str | None):
-    def fn(key, ct, f_table):
+    def fn(key, ct, f_table, plan, mxu):
         N, Q = params.N, params.Q
         lead = ct.batch_shape
         a = ct.a.reshape(-1, params.n)
@@ -85,9 +86,9 @@ def _jitted_func_boot(params: TfheParams, ct_mod: int, f_mod: int,
         tv = jnp.zeros(b.shape + (N,), dtype=U32)
         tv = tv.at[:, ::factor].set(vals)
         acc = boot.bootstrap_core(params, key.bsk, tv, a, ntt_impl,
-                                  a_modulus=ct_mod)
+                                  a_modulus=ct_mod, plan=plan, mxu=mxu)
         ct_ext = boot.extract_lwe(params, acc, jnp.asarray(np.uint32(0)),
-                                  ntt_impl)
+                                  ntt_impl, plan, mxu)
         ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, N),
                                    b=ct_ext.b.reshape(lead), modulus=Q,
                                    pt_mod=pt_mod)

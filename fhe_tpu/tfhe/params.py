@@ -116,6 +116,12 @@ PARAM_SETS: dict[str, RawParams] = {
     "LPF_STD128_LMKCDEY":  RawParams(27, 2048, 556, 2048, 32768, STD_DEV, 32, 512, 64, 10, _T),
     "LPF_STD128Q_LMKCDEY": RawParams(25, 2048, 600, 2048, 32768, STD_DEV, 32, 128, 64, 10, _T),
     "SIGNED_MOD_TEST":     RawParams(28, 2048, 512, 1024, 0, STD_DEV, 25, 128, 23, 10, _T),
+    # framework-local test set: q=4096 gives plaintext space 16 for the
+    # radix/fhEVM 2+2-bit limbs (insecure, CI-speed; production uses STD128_4
+    # scaled up the same way)
+    # qKS = 2^17 keeps the key-switch noise (~sqrt(N*dc)*sigma ~ 350 at
+    # qKS) well under the q/(2p) = 128 decryption margin after mod switch
+    "TOY_RADIX":           RawParams(27, 8192, 64, 4096, 131072, STD_DEV, 32, 512, 32, 10, _T),
 }
 
 

@@ -132,12 +132,13 @@ def signed_digit_decompose(params: TfheParams, c: jax.Array) -> jax.Array:
 
 
 def ntt_signed_digits(plan: nttmod.NttPlan, digits: jax.Array,
-                      impl: str | None = None) -> jax.Array:
+                      impl: str | None = None,
+                      mxu: "nttmod.MxuTables | None" = None) -> jax.Array:
     """Forward NTT of small signed digits -> uint32 EVALUATION."""
     impl = impl or ("mxu" if jax.default_backend() == "tpu" else "butterfly")
     if impl == "mxu" and plan.q < (1 << 31):
         lo, hi = nttmod.balanced_base128(digits)
-        return nttmod.forward_mxu_signed2(plan, lo, hi)
+        return nttmod.forward_mxu_signed2(plan, lo, hi, mxu)
     dmod = (digits % jnp.int32(plan.q)).astype(U32)
     return nttmod.forward_butterfly(plan, dmod)
 
