@@ -171,6 +171,105 @@ def eval_chebyshev_series(ctx: CkksContext, ct: Ciphertext, coeffs,
     return acc
 
 
+def _cheb_divmod(c: list, g: int):
+    """Divide sum c_i T_i by T_g in the Chebyshev basis:
+    returns (q, r) with f = q * T_g + r, deg(r) < g.
+    Uses T_i = 2 T_g T_{i-g} - T_{|i-2g|}."""
+    work = list(c)
+    n = len(work) - 1
+    q = [0.0] * (n - g + 1)
+    for i in range(n, g, -1):
+        if work[i] == 0.0:
+            continue
+        q[i - g] += 2.0 * work[i]
+        work[abs(i - 2 * g)] -= work[i]
+        work[i] = 0.0
+    q[0] += work[g]
+    work[g] = 0.0
+    return q, work[:g]
+
+
+def eval_chebyshev_series_ps(ctx: CkksContext, ct: Ciphertext, coeffs,
+                             a: float, b: float,
+                             evk: rlwe.EvalKey) -> Ciphertext:
+    """Paterson-Stockmeyer Chebyshev evaluation (EvalChebyshevSeriesPS,
+    ckksrns-advancedshe.cpp): depth ~ log2(deg) instead of deg.
+
+    Precomputes baby steps T_1..T_k and giant steps T_{2^j k}, then
+    recursively splits f = q*T_g + r."""
+    coeffs = [float(c) for c in coeffs]
+    while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-14:
+        coeffs.pop()
+    deg = len(coeffs) - 1
+    slots = ctx.params.N // 2
+
+    alpha = 2.0 / (b - a)
+    beta = -(a + b) / (b - a)
+    y = ctx.rescale(ctx.mul_plain(ct, np.full(slots, alpha)))
+    y = ctx.add_plain(y, np.full(slots, beta))
+
+    if deg <= 2:
+        return eval_chebyshev_series(ctx, ct, coeffs, a, b, evk)
+
+    k = max(2, int(np.sqrt((deg + 1) / 2.0) + 0.5))
+    # babies T_1..T_k
+    T = {1: y}
+    for i in range(2, k + 1):
+        half = i // 2
+        other = i - half
+        prod = mul_aligned(ctx, T[half], T[other], evk)
+        prod = Ciphertext(rns.mul_scalar(prod.c0, 2),
+                          rns.mul_scalar(prod.c1, 2), prod.scale)
+        d = abs(half - other)     # T_a T_b = (T_{a+b} + T_{|a-b|})/2
+        if d == 0:
+            T[i] = ctx.add_plain(prod, np.full(slots, -1.0))
+        else:
+            T[i] = add_aligned(ctx, prod, Ciphertext(
+                rns.neg(T[d].c0), rns.neg(T[d].c1), T[d].scale))
+    # giants T_{2k}, T_{4k}, ...
+    g = k
+    while 2 * g <= deg:
+        sq = mul_aligned(ctx, T[g], T[g], evk)
+        sq = Ciphertext(rns.mul_scalar(sq.c0, 2),
+                        rns.mul_scalar(sq.c1, 2), sq.scale)
+        T[2 * g] = ctx.add_plain(sq, np.full(slots, -1.0))
+        g *= 2
+
+    def emit(cs: list) -> Ciphertext | None:
+        """Evaluate sum cs_i T_i as a ciphertext (None if ~zero)."""
+        d = len(cs) - 1
+        while d > 0 and abs(cs[d]) < 1e-14:
+            d -= 1
+        cs = cs[:d + 1]
+        if d <= k:
+            acc = None
+            for i in range(1, d + 1):
+                if abs(cs[i]) < 1e-14:
+                    continue
+                term = ctx.rescale(ctx.mul_plain(
+                    T[i], np.full(slots, cs[i])))
+                acc = term if acc is None else add_aligned(ctx, acc, term)
+            if abs(cs[0]) > 1e-14:
+                if acc is None:
+                    acc = ctx.rescale(ctx.mul_plain(
+                        T[1], np.full(slots, 0.0)))
+                acc = ctx.add_plain(acc, np.full(slots, cs[0]))
+            return acc
+        gg = k
+        while 2 * gg <= d:
+            gg *= 2
+        q, r = _cheb_divmod(cs, gg)
+        cq = emit(q)
+        cr = emit(r)
+        if cq is None:
+            return cr
+        prod = mul_aligned(ctx, cq, T[gg], evk)
+        return prod if cr is None else add_aligned(ctx, prod, cr)
+
+    out = emit(coeffs)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # linear transforms (matrix x slot-vector, BSGS)
 # ---------------------------------------------------------------------------
