@@ -389,6 +389,17 @@ def approx_mod_down(p: RnsPoly, q_mods: tuple, p_mods: tuple,
     return mul_scalar(diff, jnp.asarray(pinv.astype(np.uint32)))
 
 
+def level_reduce(p: RnsPoly, drop: int) -> RnsPoly:
+    """Drop the last `drop` limbs WITHOUT scaling (the reference's
+    LevelReduce / DropLastElements, dcrtpoly.h:209 neighborhood): valid for
+    ciphertext components because RLWE decryption congruences hold mod any
+    prefix product of the chain; message and scale are unchanged."""
+    if drop == 0:
+        return p
+    assert 0 < drop < len(p.moduli)
+    return RnsPoly(p.data[..., :-drop, :], p.moduli[:-drop], p.fmt)
+
+
 def drop_last_element_and_scale(p: RnsPoly, qlinv_mont: jax.Array | None = None
                                 ) -> RnsPoly:
     """CKKS rescale (dcrtpoly.h:209 DropLastElementAndScale): with last

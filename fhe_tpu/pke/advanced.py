@@ -27,11 +27,15 @@ from .ckks import CkksContext, Ciphertext
 def adjust_to(ctx: CkksContext, ct: Ciphertext, target_mods: tuple,
               target_scale: float) -> Ciphertext:
     """Bring ct to the target basis with (approximately) the target scale:
-    plain rescales down to one level above, then one scalar-adjusted
-    rescale (the reference's AdjustLevelsAndDepth)."""
+    LevelReduce (drop limbs, value-preserving) down to one level above,
+    then one scalar-adjusted rescale (the reference's
+    AdjustLevelsAndDepth, rns-leveledshe.cpp).  A plain rescale here would
+    divide the scale below 1 and destroy the message."""
     assert len(ct.moduli) >= len(target_mods)
-    while len(ct.moduli) > len(target_mods) + 1:
-        ct = ctx.rescale(ct)
+    if len(ct.moduli) > len(target_mods) + 1:
+        drop = len(ct.moduli) - (len(target_mods) + 1)
+        ct = Ciphertext(rns.level_reduce(ct.c0, drop),
+                        rns.level_reduce(ct.c1, drop), ct.scale)
     if len(ct.moduli) == len(target_mods) + 1:
         q_last = ct.moduli[-1]
         c = max(1, round(target_scale * q_last / ct.scale))
