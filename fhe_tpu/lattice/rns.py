@@ -389,6 +389,38 @@ def approx_mod_down(p: RnsPoly, q_mods: tuple, p_mods: tuple,
     return mul_scalar(diff, jnp.asarray(pinv.astype(np.uint32)))
 
 
+@functools.lru_cache(maxsize=None)
+def _monomial_eval_table(N: int, moduli: tuple, m: int) -> jax.Array:
+    """EVALUATION-format values of X^m over the basis: [L, N] uint32 with
+    table[l, k] = psi_l^(m * (2k+1)) mod q_l (the reference's
+    MultByMonomialInPlace, used by CKKS bootstrapping's i/-i slot
+    rotations)."""
+    k = np.arange(N, dtype=np.int64)
+    out = np.zeros((len(moduli), N), dtype=np.uint32)
+    for l, q in enumerate(moduli):
+        psi = nttmod.make_plan(N, q).psi
+        # psi has order 2N; exponent m*(2k+1) mod 2N
+        e = (m * (2 * k + 1)) % (2 * N)
+        pows = np.zeros(2 * N, dtype=np.uint64)
+        acc = 1
+        for t in range(2 * N):
+            pows[t] = acc
+            acc = acc * psi % q
+        out[l] = pows[e].astype(np.uint32)
+    return jnp.asarray(out)
+
+
+def mul_monomial(p: RnsPoly, m: int) -> RnsPoly:
+    """p(X) * X^m in EVALUATION format (negacyclic: X^N = -1)."""
+    assert p.fmt == EVAL
+    tbl = _monomial_eval_table(p.N, p.moduli, m % (2 * p.N))
+    plan = p.plan
+    tbl_mont = mont_mul(tbl, plan.r2[:, None], _qb(plan),
+                        plan.qinv_neg[:, None])
+    out = mont_mul(p.data, tbl_mont, _qb(plan), plan.qinv_neg[:, None])
+    return RnsPoly(out, p.moduli, EVAL)
+
+
 def level_reduce(p: RnsPoly, drop: int) -> RnsPoly:
     """Drop the last `drop` limbs WITHOUT scaling (the reference's
     LevelReduce / DropLastElements, dcrtpoly.h:209 neighborhood): valid for

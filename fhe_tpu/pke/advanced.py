@@ -30,15 +30,19 @@ def adjust_to(ctx: CkksContext, ct: Ciphertext, target_mods: tuple,
     LevelReduce (drop limbs, value-preserving) down to one level above,
     then one scalar-adjusted rescale (the reference's
     AdjustLevelsAndDepth, rns-leveledshe.cpp).  A plain rescale here would
-    divide the scale below 1 and destroy the message."""
+    divide the scale below 1 and destroy the message.  One level =
+    composite_degree limbs (COMPOSITESCALING)."""
+    cd = ctx.params.composite_degree
     assert len(ct.moduli) >= len(target_mods)
-    if len(ct.moduli) > len(target_mods) + 1:
-        drop = len(ct.moduli) - (len(target_mods) + 1)
+    if len(ct.moduli) > len(target_mods) + cd:
+        drop = len(ct.moduli) - (len(target_mods) + cd)
         ct = Ciphertext(rns.level_reduce(ct.c0, drop),
                         rns.level_reduce(ct.c1, drop), ct.scale)
-    if len(ct.moduli) == len(target_mods) + 1:
-        q_last = ct.moduli[-1]
-        c = max(1, round(target_scale * q_last / ct.scale))
+    if len(ct.moduli) == len(target_mods) + cd:
+        q_block = 1.0
+        for q in ct.moduli[-cd:]:
+            q_block *= float(q)
+        c = max(1, round(target_scale * q_block / ct.scale))
         ct = Ciphertext(rns.mul_scalar(ct.c0, c), rns.mul_scalar(ct.c1, c),
                         ct.scale * c)
         ct = ctx.rescale(ct)
@@ -143,11 +147,14 @@ def eval_chebyshev_series(ctx: CkksContext, ct: Ciphertext, coeffs,
     Paterson-Stockmeyer variant is planned for large degrees)."""
     coeffs = [float(c) for c in coeffs]
     slots = ctx.params.N // 2
-    # y = alpha*x + beta
-    alpha = 2.0 / (b - a)
-    beta = -(a + b) / (b - a)
-    y = ctx.rescale(ctx.mul_plain(ct, np.full(slots, alpha)))
-    y = ctx.add_plain(y, np.full(slots, beta))
+    if (a, b) == (-1.0, 1.0):
+        y = ct          # domain already normalized; save one level
+    else:
+        # y = alpha*x + beta
+        alpha = 2.0 / (b - a)
+        beta = -(a + b) / (b - a)
+        y = ctx.rescale(ctx.mul_plain(ct, np.full(slots, alpha)))
+        y = ctx.add_plain(y, np.full(slots, beta))
 
     t_prev = None          # T_0 handled as plaintext 1
     t_cur = y              # T_1
@@ -207,13 +214,16 @@ def eval_chebyshev_series_ps(ctx: CkksContext, ct: Ciphertext, coeffs,
     deg = len(coeffs) - 1
     slots = ctx.params.N // 2
 
-    alpha = 2.0 / (b - a)
-    beta = -(a + b) / (b - a)
-    y = ctx.rescale(ctx.mul_plain(ct, np.full(slots, alpha)))
-    y = ctx.add_plain(y, np.full(slots, beta))
-
     if deg <= 2:
         return eval_chebyshev_series(ctx, ct, coeffs, a, b, evk)
+
+    if (a, b) == (-1.0, 1.0):
+        y = ct          # domain already normalized; save one level
+    else:
+        alpha = 2.0 / (b - a)
+        beta = -(a + b) / (b - a)
+        y = ctx.rescale(ctx.mul_plain(ct, np.full(slots, alpha)))
+        y = ctx.add_plain(y, np.full(slots, beta))
 
     k = max(2, int(np.sqrt((deg + 1) / 2.0) + 0.5))
     # babies T_1..T_k

@@ -1,0 +1,302 @@
+"""CKKS bootstrapping: raise to the full modulus chain, CoeffsToSlots,
+approximate modular reduction by a Chebyshev sine series with double-angle
+iterations, SlotsToCoeffs.
+
+Reference pipeline: /root/reference/src/pke/lib/scheme/ckksrns/
+ckksrns-fhe.cpp -- EvalBootstrapSetup (:85), EvalBootstrapKeyGen (:246),
+EvalBootstrap (:401; CoeffsToSlots :632, Chebyshev :658, double-angle
+:671 / ApplyDoubleAngleIterations :2070, SlotsToCoeffs :699).
+
+TPU-native redesign notes:
+
+* The reference's correction-factor dance (AdjustCiphertext, scalar 2^deg
+  post-multiplication) exists because its scaling factors are tied to the
+  modulus chain.  Here scales are exact float64 bookkeeping on the
+  ciphertext, so all constants (1/(N*K), q0/scale ratios) fold directly
+  into the CoeffsToSlots / SlotsToCoeffs matrices and a final scale
+  relabel -- zero extra ciphertext multiplications.
+
+* Both linear transforms use the single matrix E_lo[j,k] =
+  exp(i*pi*(2*t_j+1)*k/N) (k < N/2, t_j the 5^j-orbit slot exponents,
+  all even so X^{N/2} is an exact slot-wise *i).  E_lo is sqrt(N/2)-
+  unitary, so CoeffsToSlots is E_lo^H/(N*K) and SlotsToCoeffs is E_lo --
+  each one BSGS diagonal pass, all diagonals batched into MXU-friendly
+  plaintext multiplies.
+
+* Chebyshev coefficients for (1/2pi)^(1/2^r) * cos((2*pi*K*y - pi/2)/2^r)
+  are generated numerically at setup to a requested tolerance rather than
+  shipped as fixed tables (reference: g_coefficientsSparse/Uniform,
+  ckksrns-fhe.h:405-477).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+
+from ..lattice import rns
+from . import rlwe
+from .ckks import CkksContext, Ciphertext, encode, _embedding_tables
+from .advanced import eval_chebyshev_series_ps, add_aligned
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BootstrapPrecom:
+    slots: int               # N/2 (fully packed)
+    K: int                   # sine range: |v| <= K*q0
+    r: int                   # double-angle iterations
+    cheb_coeffs: list        # Chebyshev coeffs of the scaled cosine
+    E_lo: np.ndarray         # [n, n] complex
+    rot_indices: list        # rotation keys needed (BSGS baby+giant)
+    bsgs_g: int              # baby-step count
+
+
+def _sine_cheb_coeffs(K: int, r: int, tol: float = 1e-9,
+                      max_deg: int = 512) -> list[float]:
+    """Chebyshev-interpolation coefficients (T_k basis on [-1,1]) of
+    f(y) = (1/2pi)^(1/2^r) * cos((2*pi*K*y - pi/2)/2^r); after r
+    double-angle iterations this becomes (1/2pi)*sin(2*pi*K*y)."""
+    amp = (1.0 / (2.0 * np.pi)) ** (1.0 / 2 ** r)
+
+    def f(y):
+        return amp * np.cos((2.0 * np.pi * K * y - np.pi / 2) / 2 ** r)
+
+    grid = np.linspace(-1, 1, 4001)
+    deg = 8
+    while deg <= max_deg:
+        # interpolation at Chebyshev nodes: exact DCT-based coefficients
+        j = np.arange(deg + 1)
+        nodes = np.cos(np.pi * (j + 0.5) / (deg + 1))
+        fv = f(nodes)
+        coeffs = [2.0 / (deg + 1) * np.sum(fv * np.cos(k * np.arccos(nodes)))
+                  for k in range(deg + 1)]
+        coeffs[0] /= 2
+        approx = np.polynomial.chebyshev.chebval(grid, coeffs)
+        if np.max(np.abs(approx - f(grid))) < tol:
+            return [float(c) for c in coeffs]
+        deg += max(8, deg // 4)
+    raise ValueError("sine Chebyshev fit did not converge")
+
+
+def _bsgs_rotations(n: int) -> tuple[int, list[int]]:
+    g = max(1, int(math.isqrt(n)))
+    b = -(-n // g)
+    rots = sorted(set(list(range(1, g)) + [j * g for j in range(1, b)]))
+    return g, rots
+
+
+@functools.lru_cache(maxsize=None)
+def _E_lo(N: int) -> np.ndarray:
+    """E_lo[j,k] = exp(i*pi*(2*t_j+1)*k/N), j,k < N/2.  Satisfies
+    E_lo^H E_lo = (N/2) I and E[:, k+N/2] = i*E[:, k] (t_j even)."""
+    t, _, _ = _embedding_tables(N)
+    n = N // 2
+    j = t[:n].astype(np.float64)
+    k = np.arange(n, dtype=np.float64)
+    return np.exp(1j * np.pi * np.outer(2 * j + 1, k) / N)
+
+
+def setup(ctx: CkksContext, h: int, r: int = 3,
+          tol: float = 1e-9) -> BootstrapPrecom:
+    """EvalBootstrapSetup: build LT matrices + sine approximation for a
+    sparse-ternary secret of Hamming weight h."""
+    N = ctx.params.N
+    n = N // 2
+    K = (h + 1) // 2 + 4            # |c0 + c1*s|/q0 <= (h+1)/2, plus margin
+    coeffs = _sine_cheb_coeffs(K, r, tol)
+    E = _E_lo(N)
+    # sanity: sqrt(N/2)-unitarity of the half-embedding
+    err = np.abs(E.conj().T @ E - (N / 2) * np.eye(n)).max()
+    assert err < 1e-6 * N, f"E_lo not unitary: {err}"
+    g, rots = _bsgs_rotations(n)
+    return BootstrapPrecom(slots=n, K=K, r=r, cheb_coeffs=coeffs,
+                           E_lo=E, rot_indices=rots, bsgs_g=g)
+
+
+def keygen(ctx: CkksContext, sk: rlwe.SecretKey, precom: BootstrapPrecom,
+           rng: np.random.Generator) -> dict:
+    """EvalBootstrapKeyGen: BSGS rotation keys + conjugation + relin."""
+    return {
+        "rot": ctx.rotation_key_gen(sk, precom.rot_indices, rng),
+        "conj": ctx.conj_key_gen(sk, rng),
+        "evk": ctx.relin_key_gen(sk, rng),
+    }
+
+
+# ---------------------------------------------------------------------------
+# BSGS homomorphic linear transform
+# ---------------------------------------------------------------------------
+
+def _mul_plain_vec(ctx: CkksContext, ct: Ciphertext, z: np.ndarray,
+                   pt_scale: float) -> Ciphertext:
+    m, sc = ctx.make_plaintext(z, ct.moduli, pt_scale)
+    return Ciphertext(rns.mul(ct.c0, m), rns.mul(ct.c1, m), ct.scale * sc)
+
+
+def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
+                          rot_keys: dict, pt_scale: float, g: int,
+                          tol: float = 0.0) -> Ciphertext:
+    """y = M @ slots(ct) by the BSGS diagonal method
+    (EvalLinearTransform / EvalCoeffsToSlots with level budget 1):
+    y = sum_j rot_{jg}( sum_i rot_{-jg}(diag_{jg+i}) * rot_i(x) )."""
+    n = M.shape[0]
+    b = -(-n // g)
+    idx = np.arange(n)
+    # cache baby rotations
+    babies = {0: ct}
+    out = None
+    for j in range(b):
+        inner = None
+        for i in range(g):
+            d = j * g + i
+            if d >= n:
+                break
+            diag = M[idx, (idx + d) % n]
+            if tol and np.max(np.abs(diag)) <= tol:
+                continue
+            if i not in babies:
+                babies[i] = ctx.rotate(ct, i, rot_keys)
+            term = _mul_plain_vec(ctx, babies[i], np.roll(diag, j * g),
+                                  pt_scale)
+            inner = term if inner is None else ctx.add(inner, term)
+        if inner is None:
+            continue
+        if j > 0:
+            inner = ctx.rotate(inner, j * g, rot_keys)
+        out = inner if out is None else ctx.add(out, inner)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bootstrap pieces
+# ---------------------------------------------------------------------------
+
+def _q0(ctx: CkksContext) -> int:
+    """Base modulus: product of the first composite_degree limbs."""
+    q0 = 1
+    for q in ctx.params.moduli[:ctx.cd]:
+        q0 *= q
+    return q0
+
+
+def _raise_to_full(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
+    """Drop to the base block q0 (cd limbs), lift coefficients (centered)
+    and re-embed over the full chain (ckksrns-fhe.cpp raising :523: only
+    the level-0 tower is used; here the level-0 composite block)."""
+    full_mods = tuple(ctx.params.moduli)
+    cd = ctx.cd
+    q0 = _q0(ctx)
+    drop = len(ct.moduli) - cd
+    c0 = rns.level_reduce(ct.c0, drop) if drop else ct.c0
+    c1 = rns.level_reduce(ct.c1, drop) if drop else ct.c1
+    half = q0 // 2
+
+    def lift(p: rns.RnsPoly) -> rns.RnsPoly:
+        big = rns.to_bigint(rns.to_coeff(p))          # python ints mod q0
+        signed = np.array([int(x) - q0 if int(x) > half else int(x)
+                           for x in big], dtype=object)
+        return rns.to_eval(rlwe.signed_to_rns(signed, full_mods))
+
+    # value = w/q0 + I with w = scale*z + e; scale relabel happens at the end
+    return Ciphertext(lift(c0), lift(c1), float(q0))
+
+
+def _conjugate_split(ctx: CkksContext, enc: Ciphertext, keys: dict
+                     ) -> tuple[Ciphertext, Ciphertext]:
+    """enc -> (real part * 2, imag part * 2) via conjugation;
+    imag extraction multiplies by -i = X^{3N/2} (t_j even)."""
+    N = ctx.params.N
+    conj = ctx.conjugate(enc, keys["conj"])
+    enc_re = ctx.add(enc, conj)
+    diff = ctx.sub(enc, conj)
+    enc_im = Ciphertext(rns.mul_monomial(diff.c0, 3 * N // 2),
+                        rns.mul_monomial(diff.c1, 3 * N // 2), diff.scale)
+    return enc_re, enc_im
+
+
+def _double_angle(ctx: CkksContext, ct: Ciphertext, evk: rlwe.EvalKey,
+                  r: int) -> Ciphertext:
+    """ApplyDoubleAngleIterations (ckksrns-fhe.cpp:2070):
+    y <- 2y^2 - (1/2pi)^(2^(j-r)), turning the scaled cosine into
+    (1/2pi) sin."""
+    slots = ctx.params.N // 2
+    for j in range(1, r + 1):
+        sq = ctx.rescale(ctx.mul(ct, ct, evk))
+        sq = Ciphertext(rns.mul_scalar(sq.c0, 2), rns.mul_scalar(sq.c1, 2),
+                        sq.scale)
+        scalar = -((1.0 / (2.0 * np.pi)) ** (2.0 ** (j - r)))
+        ct = ctx.add_plain(sq, np.full(slots, scalar))
+    return ct
+
+
+def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
+                   precom: BootstrapPrecom, keys: dict) -> Ciphertext:
+    """EvalBootstrap (fully packed): returns a ciphertext encrypting the
+    same message with the level budget refreshed."""
+    params = ctx.params
+    N = params.N
+    n = precom.slots
+    cd = ctx.cd
+    q0 = float(_q0(ctx))
+    delta_in = ct.scale
+
+    raised = _raise_to_full(ctx, ct)
+
+    # ---- CoeffsToSlots: M1 = E_lo^H / (N*K).  The plaintext scale folds
+    # delta/q0 in, so the post-rescale ciphertext scale lands at ~delta
+    # (the raised scale is q0 > delta; without this the scale drifts
+    # multiplicatively through the Chebyshev stage and overflows).  With
+    # composite scaling one ~2^52 block already gives full matrix-entry
+    # precision (1 rescale); single-limb chains use two ~2^26 limbs.
+    mods = raised.moduli
+    n_resc = 1 if cd >= 2 else 2
+    s1 = ctx.scale / q0
+    for q in mods[-n_resc * cd:]:
+        s1 *= float(q)
+    M1 = precom.E_lo.conj().T / (N * precom.K)
+    enc = bsgs_linear_transform(ctx, raised, M1, keys["rot"], s1,
+                                precom.bsgs_g)
+    for _ in range(n_resc):
+        enc = ctx.rescale(enc)
+
+    enc_re, enc_im = _conjugate_split(ctx, enc, keys)
+
+    # ---- approximate mod reduction on both parts
+    def sine(c: Ciphertext) -> Ciphertext:
+        c = eval_chebyshev_series_ps(ctx, c, precom.cheb_coeffs,
+                                     -1.0, 1.0, keys["evk"])
+        return _double_angle(ctx, c, keys["evk"], precom.r)
+
+    s_re = sine(enc_re)
+    s_im = sine(enc_im)
+
+    # recombine y = s_re + i*s_im  (i = X^{N/2}); align levels first
+    if len(s_re.moduli) != len(s_im.moduli) or \
+            abs(s_re.scale - s_im.scale) > 1e-6 * s_re.scale:
+        # identical pipelines => identical levels; guard anyway
+        s_im = Ciphertext(s_im.c0, s_im.c1, s_re.scale)
+    y = add_aligned(ctx, s_re, Ciphertext(
+        rns.mul_monomial(s_im.c0, N // 2),
+        rns.mul_monomial(s_im.c1, N // 2), s_im.scale))
+
+    # ---- SlotsToCoeffs: M2 = E_lo, single-level plaintext scale
+    s2 = 1.0
+    for q in y.moduli[-cd:]:
+        s2 *= float(q)
+    out = bsgs_linear_transform(ctx, y, precom.E_lo, keys["rot"], s2,
+                                precom.bsgs_g)
+    out = ctx.rescale(out)
+
+    # The slots now hold E*w/q0 where w = delta_in*z + e: relabel the scale
+    # so the plaintext value is exactly z again (replaces the reference's
+    # correction-factor machinery).  The conjugate-split doubling (enc+conj)
+    # contributed *2 on both parts, matched by the 1/2 inside M1's 1/(2K)
+    # ... folded as: value after sine = 2 * w/(2*q0) = w/q0.
+    return Ciphertext(out.c0, out.c1, out.scale * delta_in / q0)

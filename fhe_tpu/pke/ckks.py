@@ -117,17 +117,30 @@ class CkksContext:
 
     @classmethod
     def create(cls, N: int = 1 << 12, num_levels: int = 6,
-               scale_bits: int = 28, dnum: int = 3) -> "CkksContext":
+               scale_bits: int = 28, dnum: int = 3,
+               composite_degree: int = 1,
+               first_bits: int | None = None) -> "CkksContext":
+        fb = first_bits if first_bits is not None else \
+            (30 if composite_degree == 1 else 30 * composite_degree)
         return cls(make_ckks_params(N=N, num_levels=num_levels,
-                                    scale_bits=scale_bits, dnum=dnum))
+                                    scale_bits=scale_bits, dnum=dnum,
+                                    composite_degree=composite_degree,
+                                    first_bits=fb))
 
     @property
     def scale(self) -> float:
         return float(1 << self.params.scale_bits)
 
+    @property
+    def cd(self) -> int:
+        """Limbs dropped per rescale (composite scaling degree)."""
+        return self.params.composite_degree
+
     # -- keys ---------------------------------------------------------------
-    def keygen(self, rng: np.random.Generator):
-        sk = rlwe.keygen(self.params, rng)
+    def keygen(self, rng: np.random.Generator, h: int | None = None):
+        """h: sparse-ternary Hamming weight (SPARSE_TERNARY secret, needed
+        for bootstrapping's small sine range K)."""
+        sk = rlwe.keygen(self.params, rng, h)
         pk = rlwe.pubkey_gen(self.params, sk, rng)
         return sk, pk
 
@@ -218,12 +231,17 @@ class CkksContext:
         return self.mul(a, a, evk)
 
     def rescale(self, a: Ciphertext) -> Ciphertext:
-        """ModReduce: drop last limb, divide scale by it
-        (ckksrns-leveledshe.cpp:162-183)."""
-        q_last = a.moduli[-1]
-        c0 = rns.to_eval(rns.drop_last_element_and_scale(rns.to_coeff(a.c0)))
-        c1 = rns.to_eval(rns.drop_last_element_and_scale(rns.to_coeff(a.c1)))
-        return Ciphertext(c0, c1, a.scale / q_last)
+        """ModReduce: drop the last composite_degree limbs, divide the
+        scale by their product (ckksrns-leveledshe.cpp:162-183; composite
+        scaling drops the whole ~2^scale_bits block)."""
+        c0, c1 = rns.to_coeff(a.c0), rns.to_coeff(a.c1)
+        scale = a.scale
+        for _ in range(self.cd):
+            q_last = c0.moduli[-1]
+            c0 = rns.drop_last_element_and_scale(c0)
+            c1 = rns.drop_last_element_and_scale(c1)
+            scale /= q_last
+        return Ciphertext(rns.to_eval(c0), rns.to_eval(c1), scale)
 
     def rotate(self, a: Ciphertext, r: int,
                rot_keys: dict[int, rlwe.EvalKey]) -> Ciphertext:

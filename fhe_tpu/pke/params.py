@@ -27,6 +27,10 @@ class PkeParams:
     scale_bits: int        # log2 of CKKS scaling factor / unused for BGV/BFV
     plain_mod: int = 0     # t for BGV/BFV
     std_dev: float = 3.19
+    # CKKS composite scaling (reference: COMPOSITESCALINGAUTO for 32-bit
+    # words, UnitTestCKKSrnsCompositeScaling*): one rescale drops
+    # composite_degree limbs whose product is ~2^scale_bits.
+    composite_degree: int = 1
 
     @property
     def L(self) -> int:
@@ -58,41 +62,61 @@ def _chain(bits_first: int, bits_rest: int, two_n: int, count: int,
     return out
 
 
+def _alternating_primes(center_bits: int, count: int, two_n: int,
+                        avoid: set) -> list[int]:
+    """Primes = 1 mod 2N alternating above/below 2^center_bits, so the
+    running product of any consecutive block stays centered."""
+    out = []
+    up = (1 << center_bits) + 1
+    down = (1 << center_bits) + 1
+    while len(out) < count:
+        up = primes.next_prime_congruent(up + 1, two_n)
+        if up not in avoid and up not in out:
+            out.append(up)
+        if len(out) >= count:
+            break
+        down = primes.prev_prime_congruent(down - 1, two_n)
+        if down not in avoid and down not in out:
+            out.append(down)
+    return out[:count]
+
+
 @functools.lru_cache(maxsize=None)
 def make_ckks_params(N: int = 1 << 13, num_levels: int = 8,
                      scale_bits: int = 28, first_bits: int = 30,
-                     dnum: int = 3, num_special: int | None = None
-                     ) -> PkeParams:
+                     dnum: int = 3, num_special: int | None = None,
+                     composite_degree: int = 1) -> PkeParams:
     """CKKS chain: q0 ~ 2^first_bits, q1..qL ~ 2^scale_bits (each = 1 mod
     2N so the negacyclic NTT exists), P of ~30-bit primes with |P| >=
-    max part size (keyswitch-hybrid noise requirement)."""
+    max part size (keyswitch-hybrid noise requirement).
+
+    composite_degree d > 1 (COMPOSITESCALING, for 32-bit limb words):
+    every rescale level is a block of d limbs of ~scale_bits/d bits whose
+    product is ~2^scale_bits; q0 is likewise a d-limb block of
+    ~first_bits/d bits.  Enables delta ~ 2^52 precision on uint32 RNS."""
     two_n = 2 * N
-    q0 = primes.prev_prime_congruent((1 << first_bits) - 1, two_n)
-    rest = []
-    q = (1 << scale_bits) + 1
-    # alternate above/below 2^scale_bits to keep the level scales centered
-    up, down = q, q
-    while len(rest) < num_levels:
-        up = primes.next_prime_congruent(up + 1, two_n)
-        if up != q0 and up not in rest:
-            rest.append(up)
-        if len(rest) >= num_levels:
-            break
-        down = primes.prev_prime_congruent(down - 1, two_n)
-        if down != q0 and down not in rest:
-            rest.append(down)
-    moduli = tuple([q0] + rest[:num_levels])
-    n_sp = num_special if num_special is not None else -(-(len(moduli)) // dnum)
+    cd = composite_degree
+    used: set = set()
+    if cd == 1:
+        q0_block = [primes.prev_prime_congruent((1 << first_bits) - 1, two_n)]
+    else:
+        q0_block = _alternating_primes(first_bits // cd, cd, two_n, used)
+    used.update(q0_block)
+    rest = _alternating_primes(scale_bits // cd, num_levels * cd, two_n, used)
+    used.update(rest)
+    moduli = tuple(q0_block + rest)
+    n_sp = num_special if num_special is not None else \
+        -(-(len(moduli)) // dnum)
     sp = []
     q = (1 << 30) - 1
     while len(sp) < n_sp:
         p = primes.prev_prime_congruent(q, two_n)
-        if p not in moduli:
+        if p not in used:
             sp.append(p)
         q = p - 1
     return PkeParams(scheme="CKKS", N=N, moduli=moduli,
                      special_mods=tuple(sp), num_part_q=dnum,
-                     scale_bits=scale_bits)
+                     scale_bits=scale_bits, composite_degree=cd)
 
 
 @functools.lru_cache(maxsize=None)

@@ -60,8 +60,18 @@ class EvalKey:
     num_per_part: int = dataclasses.field(metadata=dict(static=True))
 
 
-def sample_ternary(rng: np.random.Generator, N: int) -> np.ndarray:
-    return rng.integers(-1, 2, size=N, dtype=np.int64)
+def sample_ternary(rng: np.random.Generator, N: int,
+                   h: int | None = None) -> np.ndarray:
+    """Uniform ternary secret, or sparse ternary with Hamming weight h
+    (the reference's SPARSE_TERNARY secret distribution used by CKKS
+    bootstrapping to keep the sine-approximation range K small)."""
+    if h is None:
+        return rng.integers(-1, 2, size=N, dtype=np.int64)
+    assert 0 < h <= N
+    s = np.zeros(N, dtype=np.int64)
+    idx = rng.choice(N, size=h, replace=False)
+    s[idx] = rng.choice(np.array([-1, 1], dtype=np.int64), size=h)
+    return s
 
 
 def sample_gauss(rng: np.random.Generator, N: int, std: float) -> np.ndarray:
@@ -73,9 +83,10 @@ def signed_to_rns(v: np.ndarray, moduli: tuple, fmt=COEFF) -> RnsPoly:
     return RnsPoly(jnp.asarray(limbs), tuple(moduli), fmt)
 
 
-def keygen(params, rng: np.random.Generator) -> SecretKey:
+def keygen(params, rng: np.random.Generator,
+           h: int | None = None) -> SecretKey:
     all_mods = tuple(params.moduli) + tuple(params.special_mods)
-    s = sample_ternary(rng, params.N)
+    s = sample_ternary(rng, params.N, h)
     sp = rns.to_eval(signed_to_rns(s, all_mods))
     return SecretKey(s_signed=jnp.asarray(s.astype(np.int32)),
                      s_eval_full=sp.data, moduli_full=all_mods)

@@ -1,0 +1,356 @@
+"""Alternative blind-rotation accumulators: DM (FHEW/AP) and LMKCDEY.
+
+Reference semantics:
+* DM/AP: /root/reference/src/binfhe/lib/rgsw-acc-dm.cpp -- KeyGenAcc
+  (:39-60, one RGSW(X^{s_i * v * Br^k * 2N/q}) per (i, digit value v,
+  digit position k)), EvalAcc (:62-77, per-digit external products),
+  KeyGenDM (:81-115), AddToAccDM (:118-144).
+* LMKCDEY: /root/reference/src/binfhe/lib/rgsw-acc-lmkcdey.cpp --
+  KeyGenAcc (:39-68, n RGSW(X^{s_i}) keys + numAutoKeys automorphism
+  keys), EvalAcc (:70-155, group a_i by discrete log base 5 and walk the
+  exponent ladder with automorphisms), KeyGenLMKCDEY (:158-205),
+  KeyGenAuto (:208-228), AddToAccLMKCDEY (:231-267), Automorphism
+  (:269-300).
+
+TPU redesign notes:
+* DM is fully batched and jit-able: the data-dependent "skip zero digit"
+  becomes a masked select, and the per-digit key choice becomes a traced
+  gather over the value axis, so a whole ciphertext batch scans the
+  n*digitsR steps in lockstep on the MXU NTT path.
+* LMKCDEY's control flow (grouping by discrete log) is inherently
+  data-dependent, so it runs host-orchestrated per ciphertext over jit
+  leaf ops; it exists for key-size parity -- the batch throughput path on
+  TPU is CGGI (see boot.py).  LMKCDEY requires q == 2N (round-to-odd
+  exponents), like the reference's *_LMKCDEY paramsets.
+* Monomials X^m never materialize: their EVALUATION values are gathered
+  from the psi-power table (boot.psi_powers_mont), so the reference's
+  "isReducedMM" negacyclic wrap branch disappears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import ntt as nttmod
+from ..math.modmath import U32, add_mod, sub_mod, u32, mont_mul
+from .params import TfheParams
+from . import lwe, rgsw, boot
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _monomial_eval(params: TfheParams, mm: np.ndarray) -> np.ndarray:
+    """Host: EVALUATION values of X^mm (plain form) for integer exponent
+    array mm (any shape), mod Q.  out[..., k] = psi^((2k+1)*mm)."""
+    N, Q = params.N, params.Q
+    plan = nttmod.make_plan(N, Q)
+    pows = np.zeros(2 * N, dtype=np.uint64)
+    acc = 1
+    for e in range(2 * N):
+        pows[e] = acc
+        acc = acc * plan.psi % Q
+    k2 = 2 * np.arange(N, dtype=np.int64) + 1
+    e = (mm[..., None].astype(np.int64) * k2) % (2 * N)
+    return pows[e].astype(np.uint32)
+
+
+def _rgsw_encrypt_monomials(params: TfheParams, sk_n: lwe.LweSecretKey,
+                            mm: np.ndarray, rng: np.random.Generator
+                            ) -> jax.Array:
+    """Batch RGSW encryptions of X^mm[...] under the ring secret.
+
+    mm: [...] int exponents in [0, 2N).  Returns [..., dG2, 2, N] uint32
+    EVALUATION Montgomery (same layout as rgsw.BootstrapKey.bsk rows)."""
+    Q, N = params.Q, params.N
+    dg2 = params.digits_g2
+    plan = nttmod.make_plan(N, Q)
+    shape = mm.shape
+    a = rng.integers(0, Q, size=shape + (dg2, N), dtype=np.int64)
+    e = lwe._sample_error(rng, shape + (dg2, N), params.std_dev) % Q
+
+    a_eval = np.asarray(nttmod.ntt_forward(
+        plan, jnp.asarray(a.astype(np.uint32)).reshape(-1, N))
+    ).reshape(shape + (dg2, N)).astype(np.uint64)
+    e_eval = np.asarray(nttmod.ntt_forward(
+        plan, jnp.asarray(e.astype(np.uint32)).reshape(-1, N))
+    ).reshape(shape + (dg2, N)).astype(np.uint64)
+
+    mono = _monomial_eval(params, mm).astype(np.uint64)     # [..., N]
+    gpow = rgsw.gadget_powers(params).astype(np.uint64)     # [dg2]
+    msg = (mono[..., None, :] * gpow[:, None]) % Q          # [..., dg2, N]
+
+    skn = np.asarray(sk_n.s, dtype=np.int64) % Q
+    skn_eval = np.asarray(nttmod.ntt_forward(
+        plan, jnp.asarray(skn.astype(np.uint32)))).astype(np.uint64)
+
+    row_odd = (np.arange(dg2) & 1).astype(bool)
+    col0 = (a_eval + np.where(~row_odd[:, None], msg, 0)) % Q
+    col1 = (e_eval + a_eval * skn_eval % Q
+            + np.where(row_odd[:, None], msg, 0)) % Q
+    out = np.stack([col0, col1], axis=-2).astype(np.uint32)  # [..., dg2,2,N]
+    return nttmod.to_mont(plan, jnp.asarray(out))
+
+
+# ---------------------------------------------------------------------------
+# DM (AP) accumulator
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DmKey:
+    """bsk: [n*digitsR, baseR-1, dG2, 2, N] uint32 (EVAL Montgomery):
+    step (i*digitsR + k), value v-1 holds RGSW(X^{s_i*v*Br^k*(2N/q)})."""
+    bsk: jax.Array
+    ksk: lwe.LweSwitchingKey
+
+
+def dm_bsk_gen(params: TfheParams, sk: lwe.LweSecretKey,
+               sk_n: lwe.LweSecretKey, rng: np.random.Generator) -> jax.Array:
+    """KeyGenAcc for DM (rgsw-acc-dm.cpp:39-60)."""
+    q, n = params.q, params.n
+    Br, dR = params.base_r, params.digits_r
+    N = params.N
+    s = np.asarray(sk.s, dtype=np.int64)                    # [n] in {-1,0,1}
+    i_idx = np.arange(n)
+    v_idx = np.arange(1, Br)
+    k_idx = Br ** np.arange(dR)
+    # m[i, k, v] = s_i * v * Br^k; exponent mm = ((m mod q)+q)%q * 2N/q
+    m = s[:, None, None] * k_idx[None, :, None] * v_idx[None, None, :]
+    mm = ((m % q) + q) % q * (2 * N // q)                   # [n, dR, Br-1]
+    bsk = _rgsw_encrypt_monomials(params, sk_n, mm, rng)
+    return bsk.reshape(n * dR, Br - 1, params.digits_g2, 2, N)
+
+
+def blind_rotate_dm(params: TfheParams, bsk: jax.Array, acc: jax.Array,
+                    a: jax.Array, ntt_impl: str | None = None,
+                    plan: nttmod.NttPlan | None = None,
+                    mxu=None) -> jax.Array:
+    """DM accumulation (rgsw-acc-dm.cpp EvalAcc :62-77), batched:
+    acc [B, 2, N] EVAL; a [B, n] mod q.  Zero digits become masked
+    no-ops; the digit value selects the key via a traced gather."""
+    q, Br, dR = params.q, params.base_r, params.digits_r
+    plan = plan if plan is not None else nttmod.make_plan(params.N, params.Q)
+    aI = jnp.where(a == 0, 0, u32(q) - a)                   # (q - a) mod q
+    digs = []
+    tmp = aI
+    for _ in range(dR):
+        digs.append(tmp % u32(Br))
+        tmp = tmp // u32(Br)
+    vals = jnp.stack(digs, axis=-1)                         # [B, n, dR]
+    vals = vals.reshape(vals.shape[0], -1).T                # [n*dR, B]
+
+    def step(acc, xs):
+        keys_v, v = xs                                      # [Br-1,dg2,2,N],[B]
+        c = nttmod.ntt_inverse(plan, acc, ntt_impl, mxu)
+        digits = rgsw.signed_digit_decompose(params, c)
+        d_eval = rgsw.ntt_signed_digits(plan, digits, ntt_impl, mxu)
+        key_b = jnp.take(keys_v, jnp.maximum(v, 1).astype(jnp.int32) - 1,
+                         axis=0)                            # [B, dg2, 2, N]
+        new_acc = rgsw.external_product(plan, d_eval, key_b)
+        return jnp.where((v > 0)[:, None, None], new_acc, acc), None
+
+    acc, _ = jax.lax.scan(step, acc, (bsk, vals))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# LMKCDEY accumulator
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LmkcdeyKey:
+    """rgsw: [n, dG2, 2, N] RGSW(X^{s_i}) keys;
+    auto: [numAutoKeys+1, dGa, 2, N] automorphism keys -- index 0 for
+    X -> X^{2N-5}, index j>=1 for X -> X^{5^j}."""
+    rgsw: jax.Array
+    auto: jax.Array
+    ksk: lwe.LweSwitchingKey
+
+
+def _keygen_auto(params: TfheParams, sk_n: lwe.LweSecretKey, k: int,
+                 rng: np.random.Generator) -> np.ndarray:
+    """KeyGenAuto (rgsw-acc-lmkcdey.cpp:208-228): switch s(X^k) -> s;
+    dGa = digitsG - 1 rows (approximate single-poly gadget)."""
+    Q, N = params.Q, params.N
+    dga = params.digits_g - 1
+    plan = nttmod.make_plan(N, Q)
+    skn = np.asarray(sk_n.s, dtype=np.int64) % Q
+    skn_eval = np.asarray(nttmod.ntt_forward(
+        plan, jnp.asarray(skn.astype(np.uint32)))).astype(np.uint64)
+    # s(X^k) in EVAL = permutation of skn_eval
+    i = np.arange(N, dtype=np.int64)
+    e = ((2 * i + 1) * k) % (2 * N)
+    perm = ((e - 1) // 2).astype(np.int64)
+    sk_auto = skn_eval[perm]
+    gpow = np.array([pow(params.base_g, t + 1, Q) for t in range(dga)],
+                    dtype=np.uint64)
+    a = rng.integers(0, Q, size=(dga, N), dtype=np.int64).astype(np.uint64)
+    e_noise = (lwe._sample_error(rng, (dga, N), params.std_dev) % Q
+               ).astype(np.uint64)
+    e_eval = np.asarray(nttmod.ntt_forward(
+        plan, jnp.asarray(e_noise.astype(np.uint32)))).astype(np.uint64)
+    col1 = (e_eval + (Q - sk_auto) * gpow[:, None] % Q
+            + a * skn_eval % Q) % Q
+    return np.stack([a, col1], axis=1).astype(np.uint32)    # [dga, 2, N]
+
+
+def lmkcdey_key_gen(params: TfheParams, sk: lwe.LweSecretKey,
+                    sk_n: lwe.LweSecretKey, rng: np.random.Generator
+                    ) -> tuple[jax.Array, jax.Array]:
+    """KeyGenAcc for LMKCDEY (rgsw-acc-lmkcdey.cpp:39-68)."""
+    q, n, N = params.q, params.n, params.N
+    assert q == 2 * N, "LMKCDEY requires q == 2N (round-to-odd exponents)"
+    w = params.num_auto_keys
+    s = np.asarray(sk.s, dtype=np.int64)
+    mm = (((s % q) + q) % q) * (2 * N // q)                 # [n]
+    rgsw_keys = _rgsw_encrypt_monomials(params, sk_n, mm, rng)
+    M = 2 * N
+    plan = nttmod.make_plan(N, params.Q)
+    autos = [_keygen_auto(params, sk_n, M - 5, rng)]
+    for j in range(1, w + 1):
+        autos.append(_keygen_auto(params, sk_n, pow(5, j, M), rng))
+    auto_keys = nttmod.to_mont(plan, jnp.asarray(np.stack(autos)))
+    return rgsw_keys, auto_keys
+
+
+def _log_gen_table(N: int) -> np.ndarray:
+    """m_logGen (rgsw-cryptoparameters.cpp:117-127): logGen[5^i] = i,
+    logGen[-5^i] = -i, logGen[2N-1] = 2N (flag for -1), logGen[1] = 0."""
+    M = 2 * N
+    t = np.zeros(M, dtype=np.int64)
+    t[M - 1] = M
+    g = 1
+    for i in range(1, N // 2):
+        g = (g * 5) % M
+        t[g] = i
+        t[M - g] = -i
+    return t
+
+
+def _sdd_single(params: TfheParams, c: np.ndarray) -> np.ndarray:
+    """Approximate signed digit decomposition of ONE poly (rgsw-acc.cpp:94):
+    drops the first digit, returns [dGa, N] int32."""
+    Q = params.Q
+    g_bits = params.base_g.bit_length() - 1
+    dga = params.digits_g - 1
+    d = c.astype(np.int64)
+    d = np.where(d >= (Q >> 1), d - Q, d)
+    r = ((d << (64 - g_bits)) >> (64 - g_bits))
+    d = (d - r) >> g_bits
+    outs = []
+    for _ in range(dga):
+        r = ((d << (64 - g_bits)) >> (64 - g_bits))
+        d = (d - r) >> g_bits
+        outs.append(r)
+    return np.stack(outs).astype(np.int32)
+
+
+class _LmkEval:
+    """Per-call helper holding the plan and jit leaf ops."""
+
+    def __init__(self, params: TfheParams, ntt_impl=None, mxu=None):
+        self.params = params
+        self.plan = nttmod.make_plan(params.N, params.Q)
+        self.impl = ntt_impl
+        self.mxu = mxu
+
+    def auto_perm(self, k: int) -> np.ndarray:
+        N = self.params.N
+        i = np.arange(N, dtype=np.int64)
+        e = ((2 * i + 1) * k) % (2 * N)
+        return ((e - 1) // 2).astype(np.int32)
+
+    def ext_product(self, acc, key_rows):
+        """acc [2, N] EVAL -> external product with RGSW key [dg2, 2, N]."""
+        p = self.params
+        c = nttmod.ntt_inverse(self.plan, acc, self.impl, self.mxu)
+        digits = rgsw.signed_digit_decompose(p, c[None])[0]
+        d_eval = rgsw.ntt_signed_digits(self.plan, digits, self.impl,
+                                        self.mxu)
+        return rgsw.external_product(self.plan, d_eval, key_rows)
+
+    def automorphism(self, acc, k: int, akey):
+        """Automorphism + key switch (rgsw-acc-lmkcdey.cpp:269-300).
+        acc [2, N] EVAL; akey [dGa, 2, N] Montgomery EVAL."""
+        p = self.params
+        perm = jnp.asarray(self.auto_perm(k))
+        a1 = jnp.take(acc[1], perm, axis=-1)
+        cta = jnp.take(acc[0], perm, axis=-1)
+        cta_coef = nttmod.ntt_inverse(self.plan, cta, self.impl, self.mxu)
+        digits = _sdd_single(p, np.asarray(cta_coef))
+        d_eval = rgsw.ntt_signed_digits(self.plan, jnp.asarray(digits),
+                                        self.impl, self.mxu)  # [dGa, N]
+        prod = mont_mul(d_eval[:, None, :], akey, p.Q,
+                        u32(self.plan.qinv_neg))              # [dGa, 2, N]
+        out = jnp.stack([jnp.zeros_like(a1), a1])
+        for t in range(prod.shape[0]):
+            out = add_mod(out, prod[t], p.Q)
+        return out
+
+
+def blind_rotate_lmkcdey(params: TfheParams, rgsw_keys: jax.Array,
+                         auto_keys: jax.Array, acc: jax.Array,
+                         a_host: np.ndarray, ntt_impl: str | None = None,
+                         mxu=None) -> jax.Array:
+    """LMKCDEY accumulation (rgsw-acc-lmkcdey.cpp EvalAcc :70-155),
+    host-orchestrated per ciphertext (grouping by discrete log of a_i is
+    data-dependent).  acc: [B, 2, N] EVAL; a_host: [B, n] numpy mod q."""
+    N = params.N
+    M = 2 * N
+    Nh = N // 2
+    w = params.num_auto_keys
+    ev = _LmkEval(params, ntt_impl, mxu)
+    log_gen = _log_gen_table(N)
+    outs = []
+    for b in range(a_host.shape[0]):
+        perm_map: dict[int, list[int]] = {}
+        for i, ai in enumerate(a_host[b]):
+            a_odd = int((M - int(ai)) % M) | 1
+            idx = int(log_gen[a_odd])
+            perm_map.setdefault(idx, []).append(i)
+        cur = acc[b]
+        # initial rotation of the body only (mask is zero: no key needed)
+        cur = cur.at[1].set(jnp.take(cur[1],
+                                     jnp.asarray(ev.auto_perm(M - 5)),
+                                     axis=-1))
+        n_skips = 0
+        for i in range(Nh - 1, 0, -1):
+            if -i in perm_map:
+                if n_skips:
+                    cur = ev.automorphism(cur, pow(5, n_skips, M),
+                                          auto_keys[n_skips])
+                    n_skips = 0
+                for j in perm_map[-i]:
+                    cur = ev.ext_product(cur, rgsw_keys[j])
+            n_skips += 1
+            if n_skips == w or i == 1:
+                cur = ev.automorphism(cur, pow(5, n_skips, M),
+                                      auto_keys[n_skips])
+                n_skips = 0
+        for j in perm_map.get(M, []):                        # -1 group
+            cur = ev.ext_product(cur, rgsw_keys[j])
+        cur = ev.automorphism(cur, M - 5, auto_keys[0])
+        for i in range(Nh - 1, 0, -1):
+            if i in perm_map:
+                if n_skips:
+                    cur = ev.automorphism(cur, pow(5, n_skips, M),
+                                          auto_keys[n_skips])
+                    n_skips = 0
+                for j in perm_map[i]:
+                    cur = ev.ext_product(cur, rgsw_keys[j])
+            n_skips += 1
+            if n_skips == w or i == 1:
+                cur = ev.automorphism(cur, pow(5, n_skips, M),
+                                      auto_keys[n_skips])
+                n_skips = 0
+        for j in perm_map.get(0, []):                        # exponent 0
+            cur = ev.ext_product(cur, rgsw_keys[j])
+        outs.append(cur)
+    return jnp.stack(outs)

@@ -162,6 +162,27 @@ def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
     return blind_rotate(params, bsk, acc, a, ntt_impl, a_modulus, plan, mxu)
 
 
+def run_accumulator(params: TfheParams, key, test_vec: jax.Array,
+                    a: jax.Array, ntt_impl: str | None = None,
+                    plan: nttmod.NttPlan | None = None, mxu=None):
+    """Method dispatch over jittable accumulators (GINX/CGGI and DM/AP;
+    LMKCDEY is host-orchestrated in _finish_gate).  test_vec [B, N]
+    COEFFICIENT; returns acc [B, 2, N] EVALUATION."""
+    from . import acc as accmod
+    plan = plan if plan is not None else nttmod.make_plan(params.N, params.Q)
+    B = test_vec.shape[0]
+    acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
+    acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl, mxu)[:, None, :]
+    acc = jnp.concatenate([acc0, acc1], axis=1)
+    if isinstance(key, rgsw.BootstrapKey):
+        return blind_rotate(params, key.bsk, acc, a, ntt_impl, None, plan,
+                            mxu)
+    if isinstance(key, accmod.DmKey):
+        return accmod.blind_rotate_dm(params, key.bsk, acc, a, ntt_impl,
+                                      plan, mxu)
+    raise TypeError(f"unsupported key type {type(key)} in jitted pipeline")
+
+
 def extract_lwe(params: TfheParams, acc: jax.Array, b_offset,
                 ntt_impl: str | None = None,
                 plan: nttmod.NttPlan | None = None,
@@ -205,8 +226,7 @@ def _jitted_finish(params: TfheParams, p: int, extended: bool,
         a = comb.a.reshape(-1, params.n)
         b = comb.b.reshape(-1)
         tv = make_gate_test_vector(params, b, consts)
-        acc = bootstrap_core(params, key.bsk, tv, a, ntt_impl,
-                             plan=plan, mxu=mxu)
+        acc = run_accumulator(params, key, tv, a, ntt_impl, plan, mxu)
         ct_ext = extract_lwe(params, acc, b_offset, ntt_impl, plan, mxu)
         ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
                                    b=ct_ext.b.reshape(lead), modulus=Q,
@@ -252,12 +272,32 @@ def eval_bin_gate_multi(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
                         ntt_impl)
 
 
-def _finish_gate(params: TfheParams, key: rgsw.BootstrapKey, gate: Gate,
+def _finish_gate(params: TfheParams, key, gate: Gate,
                  comb: lwe.LweCiphertext, p: int, extended: bool,
                  ntt_impl: str | None) -> lwe.LweCiphertext:
     consts = jnp.asarray(gate_constants(params, gate, p))
     b_offset = jnp.asarray(np.uint32(params.Q // (p * 2) + 1))
     impl, plan, mxu = resolve_ntt(params, ntt_impl)
+    from . import acc as accmod
+    if isinstance(key, accmod.LmkcdeyKey):
+        # host-orchestrated accumulator (data-dependent discrete-log
+        # grouping): eager device ops instead of one jitted pipeline
+        lead = comb.batch_shape
+        a = comb.a.reshape(-1, params.n)
+        b = comb.b.reshape(-1)
+        tv = make_gate_test_vector(params, b, consts)
+        acc0 = jnp.concatenate(
+            [jnp.zeros((tv.shape[0], 1, params.N), dtype=U32),
+             nttmod.ntt_forward(plan, tv, impl, mxu)[:, None, :]], axis=1)
+        rot = accmod.blind_rotate_lmkcdey(params, key.rgsw, key.auto, acc0,
+                                          np.asarray(a), impl, mxu)
+        ct_ext = extract_lwe(params, rot, b_offset, impl, plan, mxu)
+        ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
+                                   b=ct_ext.b.reshape(lead),
+                                   modulus=params.Q, pt_mod=p)
+        if extended:
+            return ct_ext
+        return lwe.switch_ct_to_qn(params, key.ksk, ct_ext)
     fn = _jitted_finish(params, p, extended, impl)
     return fn(key, comb, consts, b_offset, plan, mxu)
 

@@ -27,11 +27,8 @@ class BinFheContext:
     # -- construction -------------------------------------------------------
     @classmethod
     def generate(cls, param_set: str = "STD128",
-                 method: Method = Method.GINX) -> "BinFheContext":
-        if method != Method.GINX:
-            raise NotImplementedError(
-                "AP and LMKCDEY accumulators are planned; GINX/CGGI is the "
-                "default method (binfhecontext.h:102)")
+                 method: Method | str = Method.GINX) -> "BinFheContext":
+        method = Method[method] if isinstance(method, str) else method
         return cls(params=make_params(param_set, method))
 
     # -- key generation -----------------------------------------------------
@@ -45,14 +42,22 @@ class BinFheContext:
 
     def bt_key_gen(self, sk: lwe.LweSecretKey,
                    rng: np.random.Generator | int = 0,
-                   sk_n: lwe.LweSecretKey | None = None) -> rgsw.BootstrapKey:
-        """BTKeyGen (binfhecontext.h:266): refresh + switching keys."""
+                   sk_n: lwe.LweSecretKey | None = None):
+        """BTKeyGen (binfhecontext.h:266): refresh + switching keys,
+        per the context's blind-rotation method."""
+        from . import acc as accmod
         rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
         if sk_n is None:
             sk_n = lwe.keygen(self.params, rng, dim=self.params.N)
         ksk = lwe.key_switch_gen(self.params, sk, sk_n, rng)
-        bsk = rgsw.bsk_gen(self.params, sk, sk_n, rng)
-        return rgsw.BootstrapKey(bsk=bsk, ksk=ksk)
+        if self.params.method == Method.GINX:
+            return rgsw.BootstrapKey(bsk=rgsw.bsk_gen(self.params, sk, sk_n,
+                                                      rng), ksk=ksk)
+        if self.params.method == Method.AP:
+            return accmod.DmKey(bsk=accmod.dm_bsk_gen(self.params, sk, sk_n,
+                                                      rng), ksk=ksk)
+        rg, auto = accmod.lmkcdey_key_gen(self.params, sk, sk_n, rng)
+        return accmod.LmkcdeyKey(rgsw=rg, auto=auto, ksk=ksk)
 
     # -- encryption ---------------------------------------------------------
     def encrypt(self, sk: lwe.LweSecretKey, m,

@@ -116,6 +116,9 @@ PARAM_SETS: dict[str, RawParams] = {
     "LPF_STD128_LMKCDEY":  RawParams(27, 2048, 556, 2048, 32768, STD_DEV, 32, 512, 64, 10, _T),
     "LPF_STD128Q_LMKCDEY": RawParams(25, 2048, 600, 2048, 32768, STD_DEV, 32, 128, 64, 10, _T),
     "SIGNED_MOD_TEST":     RawParams(28, 2048, 512, 1024, 0, STD_DEV, 25, 128, 23, 10, _T),
+    # framework-local LMKCDEY test set: q = 2N (round-to-odd requirement),
+    # TOY-sized n (insecure, CI-speed)
+    "TOY_LMKCDEY":         RawParams(27, 1024, 64, 1024, 0, STD_DEV, 25, 512, 23, 9, _T),
     # framework-local test set: q=4096 gives plaintext space 16 for the
     # radix/fhEVM 2+2-bit limbs (insecure, CI-speed; production uses STD128_4
     # scaled up the same way)

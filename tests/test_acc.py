@@ -1,0 +1,48 @@
+"""DM (AP) and LMKCDEY accumulator gate tests (rgsw-acc-dm.cpp /
+rgsw-acc-lmkcdey.cpp analogues; reference truth-table strategy of
+UnitTestFHEW.cpp across methods)."""
+
+import numpy as np
+import pytest
+
+from fhe_tpu.tfhe import BinFheContext, Gate
+
+M1 = np.array([0, 0, 1, 1])
+M2 = np.array([0, 1, 0, 1])
+
+
+@pytest.mark.slow
+def test_dm_gates(rng):
+    ctx = BinFheContext.generate("TOY", method="AP")
+    sk = ctx.key_gen(rng)
+    key = ctx.bt_key_gen(sk, rng)
+    ct1 = ctx.encrypt(sk, M1, rng)
+    ct2 = ctx.encrypt(sk, M2, rng)
+    out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out, p=4)),
+                                  M1 & M2)
+    out = ctx.eval_bin_gate(key, Gate.OR, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out, p=4)),
+                                  M1 | M2)
+
+
+@pytest.mark.slow
+def test_lmkcdey_gates(rng):
+    ctx = BinFheContext.generate("TOY_LMKCDEY", method="LMKCDEY")
+    sk = ctx.key_gen(rng)
+    key = ctx.bt_key_gen(sk, rng)
+    ct1 = ctx.encrypt(sk, M1, rng)
+    ct2 = ctx.encrypt(sk, M2, rng)
+    out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out, p=4)),
+                                  M1 & M2)
+    out = ctx.eval_bin_gate(key, Gate.NAND, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out, p=4)),
+                                  1 - (M1 & M2))
+
+
+def test_lmkcdey_requires_q_2n(rng):
+    ctx = BinFheContext.generate("TOY", method="LMKCDEY")
+    sk = ctx.key_gen(rng)
+    with pytest.raises(AssertionError):
+        ctx.bt_key_gen(sk, rng)
