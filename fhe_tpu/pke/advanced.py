@@ -49,14 +49,41 @@ def adjust_to(ctx: CkksContext, ct: Ciphertext, target_mods: tuple,
     return ct
 
 
+def _match_scales(ctx: CkksContext, a: Ciphertext, b: Ciphertext
+                  ) -> tuple[Ciphertext, Ciphertext]:
+    """Exactly align the scales of two same-basis ciphertexts.
+
+    Same-level ciphertexts reached by different multiplication paths carry
+    scales differing by the relative offsets of the rescale prime blocks
+    from 2^scale_bits (~1e-4): force-relabeling would inject that as
+    message error.  Instead multiply both sides by small integers u, v
+    with u*a.scale ~= v*b.scale (continued-fraction approximation), which
+    is exact up to ~2^-24 relative at the cost of <= 24 bits of headroom."""
+    from fractions import Fraction
+    if abs(a.scale - b.scale) <= 1e-12 * a.scale:
+        return a, Ciphertext(b.c0, b.c1, a.scale)
+    # headroom-aware limit: values grow by <= limit
+    q_bits = sum(int(q).bit_length() for q in a.moduli)
+    slack = q_bits - ctx.params.scale_bits - 8
+    limit = 1 << max(2, min(24, slack // 2))
+    frac = Fraction(b.scale / a.scale).limit_denominator(limit)
+    u, v = frac.numerator, frac.denominator
+    if u <= 0 or v <= 0 or max(u, v) > limit * 4:
+        return a, Ciphertext(b.c0, b.c1, a.scale)   # degenerate: relabel
+    a2 = Ciphertext(rns.mul_scalar(a.c0, u), rns.mul_scalar(a.c1, u),
+                    a.scale * u)
+    b2 = Ciphertext(rns.mul_scalar(b.c0, v), rns.mul_scalar(b.c1, v),
+                    a.scale * u)
+    return a2, b2
+
+
 def add_aligned(ctx: CkksContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """Add with automatic level/scale matching."""
     if len(a.moduli) > len(b.moduli):
         a = adjust_to(ctx, a, b.moduli, b.scale)
     elif len(b.moduli) > len(a.moduli):
         b = adjust_to(ctx, b, a.moduli, a.scale)
-    # scales now match to ~2^-28 relative; treat as equal
-    b = Ciphertext(b.c0, b.c1, a.scale)
+    a, b = _match_scales(ctx, a, b)
     return ctx.add(a, b)
 
 
