@@ -62,10 +62,12 @@ def _match_scales(ctx: CkksContext, a: Ciphertext, b: Ciphertext
     from fractions import Fraction
     if abs(a.scale - b.scale) <= 1e-12 * a.scale:
         return a, Ciphertext(b.c0, b.c1, a.scale)
-    # headroom-aware limit: values grow by <= limit
+    # headroom-aware limit: values grow by <= limit.  With FLEXIBLEAUTO
+    # level-target scales (ckks.level_scale) this path is a rare safety
+    # net, so a small cap suffices and bounds scale inflation.
     q_bits = sum(int(q).bit_length() for q in a.moduli)
     slack = q_bits - ctx.params.scale_bits - 8
-    limit = 1 << max(2, min(24, slack // 2))
+    limit = 1 << max(2, min(16, slack // 2))
     frac = Fraction(b.scale / a.scale).limit_denominator(limit)
     u, v = frac.numerator, frac.denominator
     if u <= 0 or v <= 0 or max(u, v) > limit * 4:

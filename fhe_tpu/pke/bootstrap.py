@@ -134,18 +134,14 @@ def keygen(ctx: CkksContext, sk: rlwe.SecretKey, precom: BootstrapPrecom,
 # BSGS homomorphic linear transform
 # ---------------------------------------------------------------------------
 
-def _mul_plain_vec(ctx: CkksContext, ct: Ciphertext, z: np.ndarray,
-                   pt_scale: float) -> Ciphertext:
-    m, sc = ctx.make_plaintext(z, ct.moduli, pt_scale)
-    return Ciphertext(rns.mul(ct.c0, m), rns.mul(ct.c1, m), ct.scale * sc)
-
-
 def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
-                          rot_keys: dict, pt_scale: float, g: int,
+                          rot_keys: dict, g: int,
                           tol: float = 0.0) -> Ciphertext:
     """y = M @ slots(ct) by the BSGS diagonal method
     (EvalLinearTransform / EvalCoeffsToSlots with level budget 1):
-    y = sum_j rot_{jg}( sum_i rot_{-jg}(diag_{jg+i}) * rot_i(x) )."""
+    y = sum_j rot_{jg}( sum_i rot_{-jg}(diag_{jg+i}) * rot_i(x) ).
+    Plaintext diagonals ride mul_plain's level-scale targeting; the
+    result is rescaled once and lands on the level target scale."""
     n = M.shape[0]
     b = -(-n // g)
     idx = np.arange(n)
@@ -163,15 +159,14 @@ def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
                 continue
             if i not in babies:
                 babies[i] = ctx.rotate(ct, i, rot_keys)
-            term = _mul_plain_vec(ctx, babies[i], np.roll(diag, j * g),
-                                  pt_scale)
+            term = ctx.mul_plain(babies[i], np.roll(diag, j * g))
             inner = term if inner is None else ctx.add(inner, term)
         if inner is None:
             continue
         if j > 0:
             inner = ctx.rotate(inner, j * g, rot_keys)
         out = inner if out is None else ctx.add(out, inner)
-    return out
+    return ctx.rescale(out)
 
 
 # ---------------------------------------------------------------------------
@@ -249,22 +244,13 @@ def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
 
     raised = _raise_to_full(ctx, ct)
 
-    # ---- CoeffsToSlots: M1 = E_lo^H / (N*K).  The plaintext scale folds
-    # delta/q0 in, so the post-rescale ciphertext scale lands at ~delta
-    # (the raised scale is q0 > delta; without this the scale drifts
-    # multiplicatively through the Chebyshev stage and overflows).  With
-    # composite scaling one ~2^52 block already gives full matrix-entry
-    # precision (1 rescale); single-limb chains use two ~2^26 limbs.
-    mods = raised.moduli
-    n_resc = 1 if cd >= 2 else 2
-    s1 = ctx.scale / q0
-    for q in mods[-n_resc * cd:]:
-        s1 *= float(q)
+    # ---- CoeffsToSlots: M1 = E_lo^H / (N*K); mul_plain's level-scale
+    # targeting absorbs the q0-vs-delta mismatch of the raised ciphertext,
+    # so the output lands exactly on the level target scale (the reference
+    # needs a correction factor here; float bookkeeping does not).
     M1 = precom.E_lo.conj().T / (N * precom.K)
-    enc = bsgs_linear_transform(ctx, raised, M1, keys["rot"], s1,
+    enc = bsgs_linear_transform(ctx, raised, M1, keys["rot"],
                                 precom.bsgs_g)
-    for _ in range(n_resc):
-        enc = ctx.rescale(enc)
 
     enc_re, enc_im = _conjugate_split(ctx, enc, keys)
 
@@ -286,13 +272,9 @@ def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
         rns.mul_monomial(s_im.c0, N // 2),
         rns.mul_monomial(s_im.c1, N // 2), s_im.scale))
 
-    # ---- SlotsToCoeffs: M2 = E_lo, single-level plaintext scale
-    s2 = 1.0
-    for q in y.moduli[-cd:]:
-        s2 *= float(q)
-    out = bsgs_linear_transform(ctx, y, precom.E_lo, keys["rot"], s2,
+    # ---- SlotsToCoeffs: M2 = E_lo
+    out = bsgs_linear_transform(ctx, y, precom.E_lo, keys["rot"],
                                 precom.bsgs_g)
-    out = ctx.rescale(out)
 
     # The slots now hold E*w/q0 where w = delta_in*z + e: relabel the scale
     # so the plaintext value is exactly z again (replaces the reference's

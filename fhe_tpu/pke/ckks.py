@@ -111,6 +111,23 @@ class Ciphertext:
         return len(self.c0.moduli)
 
 
+@functools.lru_cache(maxsize=None)
+def _level_scales(params) -> dict:
+    cd = params.composite_degree
+    mods = params.moduli
+    L = len(mods)
+    out = {L: float(1 << params.scale_bits)}
+    s = out[L]
+    while L - cd >= cd:
+        qb = 1.0
+        for q in mods[L - cd:L]:
+            qb *= float(q)
+        s = s * s / qb
+        L -= cd
+        out[L] = s
+    return out
+
+
 @dataclasses.dataclass
 class CkksContext:
     params: PkeParams
@@ -135,6 +152,15 @@ class CkksContext:
     def cd(self) -> int:
         """Limbs dropped per rescale (composite scaling degree)."""
         return self.params.composite_degree
+
+    def level_scale(self, num_limbs: int) -> float:
+        """Deterministic target scale for ciphertexts with `num_limbs`
+        remaining (FLEXIBLEAUTO: S_{l+1} = S_l^2 / q_block(l), the scale a
+        product of two on-target ciphertexts lands on after one rescale --
+        rns-leveledshe.cpp GetScalingFactorReal).  Keeping every
+        ciphertext at a level on ONE scale makes additions exact; the
+        drift is absorbed by plaintext-multiplication encode scales."""
+        return _level_scales(self.params)[num_limbs]
 
     # -- keys ---------------------------------------------------------------
     def keygen(self, rng: np.random.Generator, h: int | None = None):
@@ -211,7 +237,19 @@ class CkksContext:
         return Ciphertext(rns.add(a.c0, m), a.c1, a.scale)
 
     def mul_plain(self, a: Ciphertext, z) -> Ciphertext:
-        m, sc = self.make_plaintext(z, a.moduli, self.scale)
+        """Plaintext multiply.  The encode scale is chosen so that after
+        the caller's rescale the result lands EXACTLY on the level target
+        scale, absorbing any drift in a.scale (FLEXIBLEAUTO plaintext
+        scale adjustment)."""
+        L = len(a.moduli)
+        if L - self.cd >= self.cd:
+            q_block = 1.0
+            for q in a.moduli[-self.cd:]:
+                q_block *= float(q)
+            pt_scale = self.level_scale(L - self.cd) * q_block / a.scale
+        else:
+            pt_scale = self.scale
+        m, sc = self.make_plaintext(z, a.moduli, pt_scale)
         return Ciphertext(rns.mul(a.c0, m), rns.mul(a.c1, m), a.scale * sc)
 
     def mul(self, a: Ciphertext, b: Ciphertext,

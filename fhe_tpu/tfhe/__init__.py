@@ -2,7 +2,8 @@
 
 from .params import TfheParams, Method, Gate, KeyDist, make_params, PARAM_SETS
 from .context import BinFheContext
-from . import lwe, rgsw, boot
+from . import lwe, rgsw, boot, acc, threshold, transcript, zkp
 
 __all__ = ["TfheParams", "Method", "Gate", "KeyDist", "make_params",
-           "PARAM_SETS", "BinFheContext", "lwe", "rgsw", "boot"]
+           "PARAM_SETS", "BinFheContext", "lwe", "rgsw", "boot", "acc",
+           "threshold", "transcript", "zkp"]

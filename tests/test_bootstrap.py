@@ -1,0 +1,55 @@
+"""CKKS bootstrapping tests (ckksrns-fhe.cpp EvalBootstrap analogue):
+full pipeline on a composite-scaling chain -- raise, CoeffsToSlots,
+Chebyshev sine + double-angle, SlotsToCoeffs -- refreshing an exhausted
+ciphertext's level budget."""
+
+import numpy as np
+import pytest
+
+from fhe_tpu.pke import ckks, bootstrap
+from fhe_tpu.lattice import rns
+
+N = 128
+SLOTS = N // 2
+H = 16
+
+
+@pytest.fixture(scope="module")
+def boot_setup():
+    ctx = ckks.CkksContext.create(N=N, num_levels=13, scale_bits=52,
+                                  dnum=2, composite_degree=2)
+    rng = np.random.default_rng(42)
+    sk, pk = ctx.keygen(rng, h=H)
+    pre = bootstrap.setup(ctx, h=H)
+    keys = bootstrap.keygen(ctx, sk, pre, rng)
+    return ctx, sk, pk, pre, keys, rng
+
+
+@pytest.mark.slow
+def test_bootstrap_refreshes_levels(boot_setup):
+    ctx, sk, pk, pre, keys, rng = boot_setup
+    z = rng.uniform(-0.4, 0.4, size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    drop = len(ct.moduli) - ctx.cd
+    ct1 = ckks.Ciphertext(rns.level_reduce(ct.c0, drop),
+                          rns.level_reduce(ct.c1, drop), ct.scale)
+    assert len(ct1.moduli) == ctx.cd        # exhausted: no mults possible
+    out = bootstrap.eval_bootstrap(ctx, ct1, pre, keys)
+    assert len(out.moduli) >= 3 * ctx.cd    # >= 2 usable levels refreshed
+    got = ctx.decrypt(sk, out).real
+    assert np.abs(got - z).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_bootstrap_output_is_computable(boot_setup):
+    """The refreshed ciphertext must support further homomorphic mults."""
+    ctx, sk, pk, pre, keys, rng = boot_setup
+    z = rng.uniform(-0.3, 0.3, size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    drop = len(ct.moduli) - ctx.cd
+    ct1 = ckks.Ciphertext(rns.level_reduce(ct.c0, drop),
+                          rns.level_reduce(ct.c1, drop), ct.scale)
+    out = bootstrap.eval_bootstrap(ctx, ct1, pre, keys)
+    sq = ctx.rescale(ctx.mul(out, out, keys["evk"]))
+    got = ctx.decrypt(sk, sq).real
+    assert np.abs(got - z * z).max() < 1e-4

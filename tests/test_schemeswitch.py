@@ -1,0 +1,86 @@
+"""Scheme switching tests (ckksrns-schemeswitching.cpp analogue):
+CKKS -> FHEW extraction + key switch, FHEW -> CKKS sine interpolation,
+sign/compare composition."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fhe_tpu.pke import ckks, schemeswitch as ss
+from fhe_tpu.tfhe import BinFheContext, lwe as tlwe
+
+N = 128
+SLOTS = N // 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = ckks.CkksContext.create(N=N, num_levels=15, scale_bits=26,
+                                  dnum=2)
+    rng = np.random.default_rng(21)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    tctx = BinFheContext.generate("TOY")
+    tsk = tctx.key_gen(rng)
+    return ctx, sk, pk, evk, tctx, tsk, rng
+
+
+def test_ckks_to_fhew_ring_extraction(setup):
+    ctx, sk, pk, evk, tctx, tsk, rng = setup
+    key = ss.ckks_to_fhew_setup(ctx, sk, None, None, rng)
+    z = rng.integers(0, 4, size=SLOTS).astype(np.float64)
+    ct = ctx.encrypt(pk, z, rng)
+    cts = ss.eval_ckks_to_fhew(ctx, key, ct, p=4)
+    ring_sk = tlwe.LweSecretKey(s=jnp.asarray(
+        np.asarray(sk.s_signed, dtype=np.int32)))
+    got = np.asarray(tlwe.decrypt(tctx.params, ring_sk, cts, p=4))
+    np.testing.assert_array_equal(got, z.astype(int))
+
+
+def test_ckks_to_fhew_full(setup):
+    ctx, sk, pk, evk, tctx, tsk, rng = setup
+    key = ss.ckks_to_fhew_setup(ctx, sk, tctx.params, tsk, rng)
+    z = rng.integers(0, 4, size=SLOTS).astype(np.float64)
+    ct = ctx.encrypt(pk, z, rng)
+    cts = ss.eval_ckks_to_fhew(ctx, key, ct, p=4,
+                               fhew_params=tctx.params)
+    got = np.asarray(tctx.decrypt(tsk, cts, p=4))
+    np.testing.assert_array_equal(got, z.astype(int))
+
+
+@pytest.mark.slow
+def test_fhew_to_ckks_bits(setup):
+    ctx, sk, pk, evk, tctx, tsk, rng = setup
+    k2 = ss.fhew_to_ckks_setup(ctx, sk, tsk, pk, rng)
+    m = rng.integers(0, 2, size=32)
+    cts = tctx.encrypt(tsk, m, rng)
+    out = ss.eval_fhew_to_ckks(ctx, k2, cts, evk)
+    got = ctx.decrypt(sk, out).real[:32]
+    assert np.abs(got - m).max() < 0.3
+    np.testing.assert_array_equal(np.rint(got).astype(int), m)
+
+
+@pytest.mark.slow
+def test_compare_scheme_switching(setup):
+    """EvalCompareSchemeSwitching: sign(ct1 - ct2) via FHEW sign
+    bootstraps (1 iff ct1 < ct2 per the difference-sign convention).
+    Uses TOY_RADIX (q=4096, qKS=2^17) so EvalSign's flooring ladder is
+    short."""
+    ctx, sk, pk, evk, _tctx, _tsk, rng = setup
+    tctx = BinFheContext.generate("TOY_RADIX")
+    tsk = tctx.key_gen(rng)
+    key = ss.ckks_to_fhew_setup(ctx, sk, tctx.params, tsk, rng)
+    tkey = tctx.bt_key_gen(tsk, rng)
+    z1 = np.zeros(SLOTS); z2 = np.zeros(SLOTS)
+    z1[:4] = [1.0, 3.0, 2.0, 0.0]
+    z2[:4] = [2.0, 1.0, 2.0, 3.0]
+    ct1 = ctx.encrypt(pk, z1, rng)
+    ct2 = ctx.encrypt(pk, z2, rng)
+    out = ss.eval_compare_scheme_switching(ctx, key, ct1, ct2, tctx, tkey,
+                                           num_values=4)
+    a = out.a[:4]
+    out4 = type(out)(a=a, b=out.b[:4], modulus=out.modulus, pt_mod=2)
+    got = np.asarray(tctx.decrypt(tsk, out4, p=2))
+    want = (z1[:4] < z2[:4]).astype(int)
+    np.testing.assert_array_equal(got, want)
