@@ -127,8 +127,11 @@ def make_gate_test_vector(params: TfheParams, b: jax.Array,
     j = jnp.arange(q_half, dtype=U32)[None, :]
     bj = sub_mod(b[:, None], j, q)                      # [B, q/2]
     vals = jnp.where((bj >= lb) & (bj < ub), lv, uv)
-    m = jnp.zeros(b.shape + (N,), dtype=U32)
-    return m.at[:, ::factor].set(vals)
+    # sparse embedding: value at coefficient j*factor -- built by an
+    # interleave-reshape instead of a scatter so batch sharding propagates
+    pad = jnp.zeros(vals.shape + (factor - 1,), dtype=U32)
+    return jnp.concatenate([vals[..., None], pad], axis=-1
+                           ).reshape(b.shape + (N,))
 
 
 def make_func_test_vector(params: TfheParams, b: jax.Array, f_table: jax.Array,
@@ -143,8 +146,9 @@ def make_func_test_vector(params: TfheParams, b: jax.Array, f_table: jax.Array,
     bj = sub_mod(b[:, None], j, q)
     fv = jnp.take(f_table, bj.astype(jnp.int32), axis=0)
     vals = u32(Q // f_mod) * fv                          # < Q, exact
-    m = jnp.zeros(b.shape + (N,), dtype=U32)
-    return m.at[:, ::factor].set(vals)
+    pad = jnp.zeros(vals.shape + (factor - 1,), dtype=U32)
+    return jnp.concatenate([vals[..., None], pad], axis=-1
+                           ).reshape(b.shape + (N,))
 
 
 def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
