@@ -310,15 +310,23 @@ def _use_mxu() -> bool:
 def ntt_forward(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
                 mxu: MxuTables | None = None) -> jax.Array:
     impl = impl or ("mxu" if _use_mxu() else "butterfly")
-    return (forward_mxu(plan, x, mxu) if impl == "mxu"
-            else forward_butterfly(plan, x))
+    if impl == "mxu":
+        return forward_mxu(plan, x, mxu)
+    if impl == "pallas":
+        from . import ntt_pallas
+        return ntt_pallas.forward_pallas(plan, x)
+    return forward_butterfly(plan, x)
 
 
 def ntt_inverse(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
                 mxu: MxuTables | None = None) -> jax.Array:
     impl = impl or ("mxu" if _use_mxu() else "butterfly")
-    return (inverse_mxu(plan, x, mxu) if impl == "mxu"
-            else inverse_butterfly(plan, x))
+    if impl == "mxu":
+        return inverse_mxu(plan, x, mxu)
+    if impl == "pallas":
+        from . import ntt_pallas
+        return ntt_pallas.inverse_pallas(plan, x)
+    return inverse_butterfly(plan, x)
 
 
 def to_mont(plan: NttPlan, x: jax.Array) -> jax.Array:

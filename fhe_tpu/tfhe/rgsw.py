@@ -140,7 +140,7 @@ def ntt_signed_digits(plan: nttmod.NttPlan, digits: jax.Array,
         lo, hi = nttmod.balanced_base128(digits)
         return nttmod.forward_mxu_signed2(plan, lo, hi, mxu)
     dmod = (digits % jnp.int32(plan.q)).astype(U32)
-    return nttmod.forward_butterfly(plan, dmod)
+    return nttmod.ntt_forward(plan, dmod, impl)
 
 
 def external_product(plan: nttmod.NttPlan, d_eval: jax.Array,
