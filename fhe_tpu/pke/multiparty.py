@@ -96,3 +96,123 @@ def fuse(shares: list[PartialDecryption]) -> RnsPoly:
     for s in shares[1:]:
         acc = rns.add(acc, s.share)
     return rns.to_coeff(acc)
+
+
+# ---------------------------------------------------------------------------
+# Interactive multiparty bootstrapping (IntMPBoot*, cryptocontext.h:3422-3507;
+# ckksrns-multiparty.cpp IntMPBootDecrypt :352, IntMPBootEncrypt :407,
+# IntMPBootAdjustScale :452)
+# ---------------------------------------------------------------------------
+#
+# Encryption-to-Share / Share-to-Encryption protocol (per party i, joint
+# secret s = sum_i s_i), over the compressed basis Qc of the input ct:
+#   h0_i = (s_i*c1 + e0_i - M_i) mod Qc     (masked decryption share)
+#   h1_i = -s_i*a + e1_i + M_i              (re-encryption share, mod Q)
+# with integer masks M_i uniform in [0, Qc/(4n)).  The mod-Qc ring
+# arithmetic in h0 kills the q*I phase-wrap term, and the bound on the
+# masks plus |m + e| < Qc/4 means the centered representative of
+# w = (c0 + sum h0_i) mod Qc equals m + e - sum M_i EXACTLY (no wrap).
+# Lifting w to the full basis and adding sum h1_i cancels the masks:
+#   c0' = lift(w) + sum h1_i,  c1' = a,   c0' + a*s = m + e.
+# The reference works over R_{q*2^lambda} for the same cancellation with
+# a 2^lambda statistical-hiding factor; here the hiding factor is
+# Qc/(4n*|value|) -- extend the compression basis for production use.
+
+
+@dataclasses.dataclass(frozen=True)
+class IntBootShares:
+    h0: RnsPoly     # masked decryption share over Qc (EVAL)
+    h1: RnsPoly     # re-encryption share over Q (EVAL)
+    n_parties: int
+
+
+def _centered_lift(p: RnsPoly, to_mods: tuple) -> RnsPoly:
+    """Host: centered CRT lift of a COEFF poly to another basis."""
+    big = rns.to_bigint(p)
+    Qc = 1
+    for q in p.moduli:
+        Qc *= q
+    half = Qc // 2
+    signed = np.array([int(x) - Qc if int(x) > half else int(x)
+                       for x in big], dtype=object)
+    return rlwe.signed_to_rns(signed, to_mods)
+
+
+def int_boot_adjust_scale(ctx, ct):
+    """IntBootAdjustScale: compress the ciphertext to the base rescale
+    block (Compress(...), ckksrns-multiparty.cpp:452)."""
+    from .ckks import Ciphertext
+    keep = ctx.cd
+    drop = len(ct.moduli) - keep
+    if drop <= 0:
+        return ct
+    return Ciphertext(rns.level_reduce(ct.c0, drop),
+                      rns.level_reduce(ct.c1, drop), ct.scale)
+
+
+def int_mp_boot_random_gen(params, rng: np.random.Generator) -> RnsPoly:
+    """IntMPBootRandomElementGen: the common random polynomial `a` over
+    the full chain (a CRS; sampled once and shared)."""
+    return rlwe.uniform_poly(rng, tuple(params.moduli), params.N)
+
+
+def _bounded_mask(rng: np.random.Generator, N: int, bound: int) -> np.ndarray:
+    out = np.empty(N, dtype=object)
+    for i in range(N):
+        v = 0
+        b = bound
+        while b > 0:
+            chunk = min(b, 1 << 62)
+            v = v * chunk + int(rng.integers(0, chunk))
+            b //= 1 << 62
+            if b == 0:
+                break
+        out[i] = v % bound
+    return out
+
+
+def int_mp_boot_decrypt(params, sk: rlwe.SecretKey, ct_low, a: RnsPoly,
+                        rng: np.random.Generator, n_parties: int = 2
+                        ) -> IntBootShares:
+    """IntMPBootDecrypt: one party's (masked decryption, re-encryption)
+    share pair."""
+    full_mods = tuple(params.moduli)
+    qc_mods = ct_low.moduli
+    N = params.N
+    Qc = 1
+    for q in qc_mods:
+        Qc *= q
+    m_coeffs = _bounded_mask(rng, N, Qc // (4 * n_parties))
+    m_qc = rns.to_eval(rlwe.signed_to_rns(m_coeffs, qc_mods))
+    m_full = rns.to_eval(rlwe.signed_to_rns(m_coeffs, full_mods))
+
+    s_qc = sk.eval_poly(qc_mods)
+    e0 = rns.to_eval(rlwe.signed_to_rns(
+        rlwe.sample_gauss(rng, N, params.std_dev), qc_mods))
+    h0 = rns.sub(rns.add(rns.mul(s_qc, ct_low.c1), e0), m_qc)
+
+    s_f = sk.eval_poly(full_mods)
+    e1 = rns.to_eval(rlwe.signed_to_rns(
+        rlwe.sample_gauss(rng, N, params.std_dev), full_mods))
+    h1 = rns.add(rns.add(rns.neg(rns.mul(s_f, a)), e1), m_full)
+    return IntBootShares(h0=h0, h1=h1, n_parties=n_parties)
+
+
+def int_mp_boot_add(shares: list["IntBootShares"]) -> "IntBootShares":
+    """IntMPBootAdd: aggregate all parties' share pairs."""
+    h0 = shares[0].h0
+    h1 = shares[0].h1
+    for s in shares[1:]:
+        h0 = rns.add(h0, s.h0)
+        h1 = rns.add(h1, s.h1)
+    return IntBootShares(h0=h0, h1=h1, n_parties=shares[0].n_parties)
+
+
+def int_mp_boot_encrypt(params, ct_low, agg: "IntBootShares", a: RnsPoly):
+    """IntMPBootEncrypt: assemble the refreshed full-level ciphertext
+    c0' = lift(c0 + h0) + h1, c1' = a."""
+    from .ckks import Ciphertext
+    full_mods = tuple(params.moduli)
+    w = rns.add(ct_low.c0, agg.h0)
+    w_full = rns.to_eval(_centered_lift(rns.to_coeff(w), full_mods))
+    return Ciphertext(rns.add(w_full, agg.h1), a, ct_low.scale)

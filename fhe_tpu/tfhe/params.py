@@ -119,12 +119,17 @@ PARAM_SETS: dict[str, RawParams] = {
     # framework-local LMKCDEY test set: q = 2N (round-to-odd requirement),
     # TOY-sized n (insecure, CI-speed)
     "TOY_LMKCDEY":         RawParams(27, 1024, 64, 1024, 0, STD_DEV, 25, 512, 23, 9, _T),
-    # framework-local test set: q=4096 gives plaintext space 16 for the
-    # radix/fhEVM 2+2-bit limbs (insecure, CI-speed; production uses STD128_4
-    # scaled up the same way)
-    # qKS = 2^17 keeps the key-switch noise (~sqrt(N*dc)*sigma ~ 350 at
-    # qKS) well under the q/(2p) = 128 decryption margin after mod switch
-    "TOY_RADIX":           RawParams(27, 8192, 64, 4096, 131072, STD_DEV, 32, 512, 32, 10, _T),
+    # framework-local test set: q=8192 gives plaintext space 16 for the
+    # radix/fhEVM 2+2-bit limbs with a q/(2p) = 256 decryption margin.
+    # qKS = 2^20 keeps the dominant keyswitch noise sigma*sqrt(N*dc)*q/qKS
+    # at ~4.5 in q units (the earlier qKS=2^17 at q=4096 left ~3 sigma of
+    # margin and flipped limbs at LUT-step edges).  EvalFunc's 2q
+    # accumulator needs 2q <= 4N: q = N here.  (insecure n, CI-speed;
+    # production uses STD128_4 scaled the same way)
+    # Bg=32 (digitsG=6): blind-rotate noise ~ sqrt(dG2*N)*Bg/2*sigma*
+    # sqrt(2n)/(Q/q) ~ 10 q-units at N=8192 (Bg=512 gave ~100 -- above the
+    # 256 margin at 2.5 sigma)
+    "TOY_RADIX":           RawParams(27, 16384, 64, 8192, 1048576, STD_DEV, 32, 32, 32, 10, _T),
 }
 
 

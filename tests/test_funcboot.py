@@ -73,8 +73,9 @@ def test_eval_sign(toy, rng):
     msgs = np.array([1, 3, 5, 7])     # encode m*big_mod/8
     ct = ctx.encrypt(sk, msgs, rng, p=p_big, modulus=big_mod)
     out = funcboot.eval_sign(par, key, ct)
-    # EvalSign returns q/4-scaled sign: decrypt p=4 -> 1 if msb set
-    got = np.asarray(lwe.decrypt(ctx.params, sk, out, p=4))
+    # EvalSign encodes the MSB at {0, q/2}: decrypt with p=2
+    # (reference UnitTestFunc decrypts sign outputs at plaintext space 2)
+    got = np.asarray(lwe.decrypt(ctx.params, sk, out, p=2))
     want = (msgs >= p_big // 2).astype(int)
     np.testing.assert_array_equal(got, want)
 

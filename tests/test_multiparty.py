@@ -72,3 +72,37 @@ def test_bgv_5party(rng):
                        for x in big], dtype=np.int64)
     got = bgv.decode(coeffs, t, N)
     np.testing.assert_array_equal(got, m % t)
+
+
+def test_interactive_mp_bootstrap(rng):
+    """IntMPBoot*: 2-party interactive bootstrap of an exhausted CKKS
+    ciphertext (interactive-bootstrapping.cpp pattern: all parties
+    in-process)."""
+    ctx = ckks.CkksContext.create(N=N, num_levels=6, scale_bits=26, dnum=2)
+    sks, pk = multiparty.multiparty_keygen(ctx.params, 2, rng)
+    z = rng.normal(size=N // 2) * 0.5
+    ct = ctx.encrypt(pk, z, rng)
+    low = multiparty.int_boot_adjust_scale(ctx, ct)
+    assert len(low.moduli) == ctx.cd
+
+    a = multiparty.int_mp_boot_random_gen(ctx.params, rng)
+    shares = [multiparty.int_mp_boot_decrypt(ctx.params, sk, low, a, rng)
+              for sk in sks]
+    agg = multiparty.int_mp_boot_add(shares)
+    fresh = multiparty.int_mp_boot_encrypt(ctx.params, low, agg, a)
+    assert len(fresh.moduli) == len(ctx.params.moduli)   # full chain again
+
+    # joint decrypt of the refreshed ciphertext
+    lead = multiparty.decrypt_lead(ctx.params, sks[0], fresh.c0, fresh.c1,
+                                   rng)
+    mains = [multiparty.decrypt_main(ctx.params, sks[1], fresh.c1, rng)]
+    ph = multiparty.fuse([lead] + mains)
+    big = rns.to_bigint(ph)
+    Q = 1
+    for q in fresh.moduli:
+        Q *= q
+    m = ckks._center(big, Q)
+    got = ckks.decode(m, N, fresh.scale)
+    # error floor = the MP_SD=2^20 flooding noise of the final joint
+    # decrypt at scale 2^26 (~0.6 across N slots), not the IntBoot itself
+    np.testing.assert_allclose(got.real, z, atol=1.2)
