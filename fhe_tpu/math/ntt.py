@@ -307,11 +307,25 @@ def _use_mxu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+FOURSTEP_MIN_N = 8192    # dense MXU matrices infeasible above this
+
+
+def _auto_impl(N: int) -> str:
+    if not _use_mxu():
+        return "butterfly"
+    return "fourstep" if N >= FOURSTEP_MIN_N else "mxu"
+
+
 def ntt_forward(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
                 mxu: MxuTables | None = None) -> jax.Array:
-    impl = impl or ("mxu" if _use_mxu() else "butterfly")
+    impl = impl or _auto_impl(plan.N)
+    if impl == "mxu" and plan.N >= FOURSTEP_MIN_N:
+        impl = "fourstep"
     if impl == "mxu":
         return forward_mxu(plan, x, mxu)
+    if impl == "fourstep":
+        from . import ntt_fourstep
+        return ntt_fourstep.forward_fourstep(plan, x)
     if impl == "pallas":
         from . import ntt_pallas
         return ntt_pallas.forward_pallas(plan, x)
@@ -320,9 +334,14 @@ def ntt_forward(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
 
 def ntt_inverse(plan: NttPlan, x: jax.Array, impl: Optional[str] = None,
                 mxu: MxuTables | None = None) -> jax.Array:
-    impl = impl or ("mxu" if _use_mxu() else "butterfly")
+    impl = impl or _auto_impl(plan.N)
+    if impl == "mxu" and plan.N >= FOURSTEP_MIN_N:
+        impl = "fourstep"
     if impl == "mxu":
         return inverse_mxu(plan, x, mxu)
+    if impl == "fourstep":
+        from . import ntt_fourstep
+        return ntt_fourstep.inverse_fourstep(plan, x)
     if impl == "pallas":
         from . import ntt_pallas
         return ntt_pallas.inverse_pallas(plan, x)

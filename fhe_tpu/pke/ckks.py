@@ -210,8 +210,22 @@ class CkksContext:
         return Ciphertext(c0=c0, c1=c1, scale=scale)
 
     def decrypt(self, sk: rlwe.SecretKey, ct: Ciphertext,
-                slots: int | None = None) -> np.ndarray:
+                slots: int | None = None,
+                flood_rng: np.random.Generator | None = None,
+                flood_sd: float = float(1 << 20)) -> np.ndarray:
+        """Decrypt; if flood_rng is given, Gaussian noise of std flood_sd
+        is added to the phase before decoding (NOISE_FLOODING_DECRYPT --
+        the countermeasure for CKKS approximate-decryption key recovery,
+        reference examples/CKKS_NOISE_FLOODING.md +
+        UnitTestNoiseFlooding.cpp; the result must then be treated as
+        public)."""
         ph = rlwe.decrypt_phase(sk, ct.c0, ct.c1)
+        if flood_rng is not None:
+            e = np.rint(flood_rng.normal(0.0, flood_sd,
+                                         size=self.params.N)).astype(np.int64)
+            ph = rns.add(ph, rlwe.signed_to_rns(e, ph.moduli, fmt=ph.fmt)
+                         if ph.fmt == rns.COEFF else
+                         rns.to_eval(rlwe.signed_to_rns(e, ph.moduli)))
         if ct.c2 is not None:
             s = sk.eval_poly(ct.moduli)
             extra = rns.to_coeff(rns.mul(rns.mul(ct.c2, s), s))

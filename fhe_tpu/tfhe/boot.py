@@ -210,8 +210,9 @@ def resolve_ntt(params: TfheParams, ntt_impl: str | None):
     """Host: resolve the NTT implementation and fetch plan + (lazy) MXU
     tables.  Tables are returned so callers pass them as jit ARGUMENTS --
     closing over them would bake multi-MB constants into every jaxpr."""
-    impl = ntt_impl or ("mxu" if jax.default_backend() == "tpu"
-                        else "butterfly")
+    impl = ntt_impl or nttmod._auto_impl(params.N)
+    if impl == "mxu" and params.N >= nttmod.FOURSTEP_MIN_N:
+        impl = "fourstep"        # dense [dN, dN] table would be ~GBs
     plan = nttmod.make_plan(params.N, params.Q)
     mxu = nttmod.make_mxu(params.N, params.Q) if impl == "mxu" else None
     return impl, plan, mxu
