@@ -236,18 +236,24 @@ def inverse_butterfly(plan: NttPlan, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _decompose_u32_planes(x: jax.Array, d: int) -> jax.Array:
-    """[..., N] uint32 in [0, q) -> [..., d*N] int8 of 7-bit digits."""
+    """[..., N] uint32 in [0, q) -> [..., d, N] int8 of 7-bit digits
+    (stacked on a NEW axis -- no lane-axis concat relayout)."""
     planes = [((x >> (7 * u)) & jnp.uint32(127)).astype(jnp.int8)
               for u in range(d)]
-    return jnp.concatenate(planes, axis=-1)
+    return jnp.stack(planes, axis=-2)
 
 
 def _matmul_recombine(plan: NttPlan, planes_i8: jax.Array, W: jax.Array) -> jax.Array:
-    """[B, Din*N] int8  x  [Din*N, Dout*N] int8  ->  [B, N] uint32 mod q."""
+    """[B, Din, N] int8  x  [Din*N, Dout*N] int8  ->  [B, N] uint32 mod q.
+
+    The digit and coefficient axes contract together in ONE dot_general
+    (no [B, Din*N] flattening relayout on the data side)."""
     q = plan.q
+    Wr = W.reshape(W.shape[0] // plan.N, plan.N, -1)   # [Din, N, Dout*N]
     acc = jax.lax.dot_general(
-        planes_i8, W,
-        dimension_numbers=(((planes_i8.ndim - 1,), (0,)), ((), ())),
+        planes_i8, Wr,
+        dimension_numbers=(((planes_i8.ndim - 2, planes_i8.ndim - 1),
+                            (0, 1)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out = acc.reshape(*acc.shape[:-1], plan.d_out, plan.N)
@@ -286,8 +292,8 @@ def forward_mxu_signed2(plan: NttPlan, lo_i8: jax.Array, hi_i8: jax.Array,
     """
     mxu = mxu if mxu is not None else make_mxu(plan.N, plan.q)
     lead = lo_i8.shape[:-1]
-    planes = jnp.concatenate([lo_i8.reshape(-1, plan.N),
-                              hi_i8.reshape(-1, plan.N)], axis=-1)
+    planes = jnp.stack([lo_i8.reshape(-1, plan.N),
+                        hi_i8.reshape(-1, plan.N)], axis=-2)
     return _matmul_recombine(plan, planes, mxu.Wf_s2).reshape(*lead, plan.N)
 
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..math import ntt as nttmod
-from ..math.modmath import (U32, add_mod, sub_mod, u32)
+from ..math.modmath import (U32, add_mod, sub_mod, u32, mont_mul)
 from .params import TfheParams, Gate
 from . import lwe, rgsw
 
@@ -44,19 +44,47 @@ def psi_powers_mont(N: int, Q: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _mono_sq_tables(N: int, Q: int) -> np.ndarray:
+    """P[j, k] = psi^(2^j * (2k+1)) mod Q in Montgomery form, for the
+    exponentiation-by-squaring monomial evaluation."""
+    plan = nttmod.make_plan(N, Q)
+    logm = (2 * N).bit_length() - 1
+    k = np.arange(N, dtype=np.int64)
+    pows = np.zeros(2 * N, dtype=np.uint64)
+    acc = 1
+    for t in range(2 * N):
+        pows[t] = acc
+        acc = acc * plan.psi % Q
+    out = np.zeros((logm, N), dtype=np.uint32)
+    for j in range(logm):
+        e = ((1 << j) * (2 * k + 1)) % (2 * N)
+        out[j] = ((pows[e].astype(object) << 32) % Q
+                  ).astype(np.uint64).astype(np.uint32)
+    return out
+
+
 def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
     """EVALUATION-format values of (X^idx - 1), Montgomery form.
 
     idx: [B] uint32 in [0, 2N). Returns [B, N] uint32:
     out[b, k] = (psi^((2k+1) * idx[b]) - 1) * R mod Q.
-    """
+
+    Computed by exponentiation-by-squaring over log2(2N) constant tables
+    (selected per idx bit) -- pure VPU work.  The equivalent [B, N]
+    gather from the psi-power table lowers to a slow path on TPU (~8x
+    slower measured); bit-identical results."""
     N, Q = params.N, params.Q
-    table = jnp.asarray(psi_powers_mont(N, Q))
-    k2 = (2 * jnp.arange(N, dtype=U32) + 1)[None, :]
-    e = (k2 * idx[:, None]) & u32(2 * N - 1)     # 2N is a power of two
-    vals = jnp.take(table, e.astype(jnp.int32), axis=0)
-    r_mod_q = u32((1 << 32) % Q)                 # Montgomery form of 1
-    return sub_mod(vals, r_mod_q, Q)
+    plan = nttmod.make_plan(N, Q)
+    tables = jnp.asarray(_mono_sq_tables(N, Q))
+    logm = (2 * N).bit_length() - 1
+    r1 = np.uint32((1 << 32) % Q)                # Montgomery form of 1
+    w = jnp.full(idx.shape + (N,), r1, dtype=U32)
+    for j in range(logm):
+        bit = ((idx >> j) & u32(1))[..., None]
+        wm = mont_mul(w, tables[j][None, :], Q, u32(plan.qinv_neg))
+        w = jnp.where(bit == 1, wm, w)
+    return sub_mod(w, u32(r1), Q)
 
 
 def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,

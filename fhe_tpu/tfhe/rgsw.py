@@ -114,17 +114,19 @@ def signed_digit_decompose(params: TfheParams, c: jax.Array) -> jax.Array:
     """
     Q = params.Q
     g_bits = params.base_g.bit_length() - 1
-    dg = params.digits_g - 1
+    bg = params.base_g
+    dgt = params.digits_g
+    dg = dgt - 1
     d = c.astype(jnp.int32)
     d = jnp.where(d >= jnp.int32(Q >> 1), d - jnp.int32(Q), d)
-    # drop first digit
-    r = (d << (32 - g_bits)) >> (32 - g_bits)
-    d = (d - r) >> g_bits
-    outs = []
-    for _ in range(dg):
-        r = (d << (32 - g_bits)) >> (32 - g_bits)
-        d = (d - r) >> g_bits
-        outs.append(r)
+    # closed-form balanced digits (no sequential borrow chain): adding
+    # offset = sum_t (Bg/2) * Bg^t turns balanced digits into plain
+    # unsigned digits of (d + offset), each minus Bg/2 -- all digits
+    # computable in parallel on the VPU.  Requires Q * Bg < 2^31.
+    offset = sum((bg >> 1) << (g_bits * t) for t in range(dgt))
+    u = d + jnp.int32(offset)
+    outs = [((u >> (g_bits * t)) & jnp.int32(bg - 1)) - jnp.int32(bg >> 1)
+            for t in range(1, dgt)]            # drop digit 0
     # outs[t]: [..., 2, N] -> interleave to [..., 2*dg, N] with r = 2t+poly
     st = jnp.stack(outs, axis=-3)                          # [..., dg, 2, N]
     shape = st.shape[:-3] + (2 * dg, st.shape[-1])
