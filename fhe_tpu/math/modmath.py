@@ -337,3 +337,41 @@ def round_scale_mod(v, num: int, den: int, out_mod: int):
     m = u32(int(out_mod))
     # k <= num (since v < den), out_mod >= num in all uses, but reduce anyway
     return jnp.where(k >= m, k - m, k)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit arithmetic on (hi, lo) uint32 word pairs -- TPU has no native u64.
+# Used by the 2-limb RNS TFHE accumulator's digit decomposition
+# (tfhe/rgsw_rns.py) to reconstruct |v| < 2^63 coefficient values.
+# ---------------------------------------------------------------------------
+
+def u64_add(h1, l1, h2, l2):
+    lo = u32(l1) + u32(l2)
+    carry = (lo < u32(l1)).astype(U32)
+    return u32(h1) + u32(h2) + carry, lo
+
+
+def u64_add_const(h, l, c: int):
+    return u64_add(h, l, u32((c >> 32) & 0xFFFFFFFF), u32(c & 0xFFFFFFFF))
+
+
+def u64_sub(h1, l1, h2, l2):
+    lo = u32(l1) - u32(l2)
+    borrow = (u32(l1) < u32(l2)).astype(U32)
+    return u32(h1) - u32(h2) - borrow, lo
+
+
+def u64_geq(h1, l1, h2, l2):
+    """1 where (h1,l1) >= (h2,l2)."""
+    return jnp.where(u32(h1) != u32(h2), u32(h1) > u32(h2),
+                     u32(l1) >= u32(l2))
+
+
+def u64_shr(h, l, s: int):
+    """Logical right shift by 0 <= s < 64; returns the LOW word of the
+    result (sufficient when the caller masks to < 32 bits)."""
+    if s == 0:
+        return u32(l)
+    if s < 32:
+        return (u32(l) >> s) | (u32(h) << (32 - s))
+    return u32(h) >> (s - 32)

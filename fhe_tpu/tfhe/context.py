@@ -51,6 +51,11 @@ class BinFheContext:
             sk_n = lwe.keygen(self.params, rng, dim=self.params.N)
         ksk = lwe.key_switch_gen(self.params, sk, sk_n, rng)
         if self.params.method == Method.GINX:
+            if self.params.moduli_rns:
+                from . import rgsw_rns
+                return rgsw.BootstrapKey(
+                    bsk=rgsw_rns.bsk_gen_rns(self.params, sk, sk_n, rng),
+                    ksk=ksk)
             return rgsw.BootstrapKey(bsk=rgsw.bsk_gen(self.params, sk, sk_n,
                                                       rng), ksk=ksk)
         if self.params.method == Method.AP:
@@ -77,6 +82,10 @@ class BinFheContext:
         gate = Gate[gate] if isinstance(gate, str) else gate
         if gate == Gate.CMUX:
             raise ValueError("CMUX takes 3 inputs; use eval_cmux")
+        if self.params.moduli_rns:
+            from . import rgsw_rns
+            return rgsw_rns.eval_bin_gate_rns(self.params, key, gate,
+                                              ct1, ct2)
         return boot.eval_bin_gate(self.params, key, gate, ct1, ct2,
                                   extended, self.ntt_impl)
 

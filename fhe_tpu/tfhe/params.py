@@ -119,6 +119,9 @@ PARAM_SETS: dict[str, RawParams] = {
     # framework-local LMKCDEY test set: q = 2N (round-to-odd requirement),
     # TOY-sized n (insecure, CI-speed)
     "TOY_LMKCDEY":         RawParams(27, 1024, 64, 1024, 0, STD_DEV, 25, 512, 23, 9, _T),
+    # framework-local 2-limb RNS ring test set (q_bits 34 > 30 forces the
+    # rgsw_rns accumulator; insecure n, CI-speed)
+    "TOY_RNS":             RawParams(34, 2048, 64, 1024, 16384, STD_DEV, 32, 131072, 32, 10, _T),
     # framework-local test set: q=8192 gives plaintext space 16 for the
     # radix/fhEVM 2+2-bit limbs with a q/(2p) = 256 decryption margin.
     # qKS = 2^20 keeps the dominant keyswitch noise sigma*sqrt(N*dc)*q/qKS
@@ -158,6 +161,9 @@ class TfheParams:
     digits_r: int
     # LMKCDEY
     num_auto_keys: int
+    # 2-limb RNS ring modulus for q_bits > 30 (Q = prod(moduli_rns);
+    # empty tuple = single-limb Q)
+    moduli_rns: tuple = ()
 
     @property
     def digits_g2(self) -> int:
@@ -185,8 +191,23 @@ class TfheParams:
 def make_params(name: str, method: Method = Method.GINX) -> TfheParams:
     raw = PARAM_SETS[name]
     N = raw.cyc_order // 2
-    Q = primes.last_prime(raw.q_bits, raw.cyc_order)
-    q_ks = raw.q_ks if raw.q_ks != 0 else Q
+    moduli_rns = ()
+    if raw.q_bits <= 30:
+        Q = primes.last_prime(raw.q_bits, raw.cyc_order)
+    else:
+        # uint32 limbs cannot hold Q >= 2^31: use a 2-limb RNS ring with
+        # Q = q1*q2 of ~q_bits total (the TPU-native analogue of the
+        # reference's single 37..50-bit NativeInteger modulus)
+        b1 = (raw.q_bits + 1) // 2
+        b2 = raw.q_bits - b1 + 1
+        q1 = primes.last_prime(min(b1, 30), raw.cyc_order)
+        q2 = primes.last_prime(min(b2, 30), raw.cyc_order)
+        if q2 == q1:
+            q2 = primes.prev_prime_congruent(q1 - 1, raw.cyc_order)
+        moduli_rns = (q1, q2)
+        Q = q1 * q2
+    q_ks = raw.q_ks if raw.q_ks != 0 else (Q if raw.q_bits <= 30 else
+                                           1 << 27)
     digits_g = int(math.ceil(math.log(Q) / math.log(raw.base_g)))
     digits_ks = int(math.ceil(math.log(q_ks) / math.log(raw.base_ks)))
     digits_r = int(math.ceil(math.log(raw.q) / math.log(raw.base_r)))
@@ -196,5 +217,5 @@ def make_params(name: str, method: Method = Method.GINX) -> TfheParams:
         base_g=raw.base_g, digits_g=digits_g,
         base_ks=raw.base_ks, digits_ks=digits_ks,
         base_r=raw.base_r, digits_r=digits_r,
-        num_auto_keys=raw.num_auto_keys,
+        num_auto_keys=raw.num_auto_keys, moduli_rns=moduli_rns,
     )
