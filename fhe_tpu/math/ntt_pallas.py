@@ -124,8 +124,11 @@ def _call(kernel, plan, x2d, extra, tile):
 
 
 def forward_pallas(plan: nttmod.NttPlan, x: jax.Array,
-                   tile: int = 64) -> jax.Array:
-    """[..., N] uint32 COEFFICIENT -> EVALUATION (natural order)."""
+                   tile: int = 64, out_br: bool = False) -> jax.Array:
+    """[..., N] uint32 COEFFICIENT -> EVALUATION.
+
+    out_br=True returns the kernel's native bit-reversed order (skips the
+    final permutation; the fused blind-rotate keeps everything BR)."""
     N, q = plan.N, plan.q
     f_tw, f_tws, _, _ = _stage_tables(N, q)
     host_plan = nttmod.make_plan(N, q)     # concrete tables even under jit
@@ -134,20 +137,25 @@ def forward_pallas(plan: nttmod.NttPlan, x: jax.Array,
     tile = min(tile, -(-x2.shape[0] // 8) * 8)   # multiple of 8 sublanes
     out = _call(functools.partial(_fwd_kernel, N=N, logN=plan.logN, q=q),
                 plan, x2, (jnp.asarray(f_tw), jnp.asarray(f_tws)), tile)
-    out = jnp.take(out, jnp.asarray(np.asarray(host_plan.br)),
-                   axis=-1)                # bit-reversed -> natural
+    if not out_br:
+        out = jnp.take(out, jnp.asarray(np.asarray(host_plan.br)),
+                       axis=-1)            # bit-reversed -> natural
     return out.reshape(*lead, N)
 
 
 def inverse_pallas(plan: nttmod.NttPlan, x: jax.Array,
-                   tile: int = 64) -> jax.Array:
-    """[..., N] uint32 EVALUATION (natural order) -> COEFFICIENT."""
+                   tile: int = 64, in_br: bool = False) -> jax.Array:
+    """[..., N] uint32 EVALUATION -> COEFFICIENT (natural order).
+
+    in_br=True: input already in bit-reversed evaluation order."""
     N, q = plan.N, plan.q
     _, _, g_tw, g_tws = _stage_tables(N, q)
     lead = x.shape[:-1]
     host_plan = nttmod.make_plan(N, q)     # concrete tables even under jit
-    x2 = jnp.take(x.reshape(-1, N), jnp.asarray(np.asarray(host_plan.br)),
-                  axis=-1)                 # natural -> BR
+    x2 = x.reshape(-1, N)
+    if not in_br:
+        x2 = jnp.take(x2, jnp.asarray(np.asarray(host_plan.br)),
+                      axis=-1)             # natural -> BR
     tile = min(tile, -(-x2.shape[0] // 8) * 8)   # multiple of 8 sublanes
     ninv = jnp.asarray(
         np.array([[np.asarray(host_plan.ninv), np.asarray(host_plan.ninv_s)]],
