@@ -197,13 +197,17 @@ def eval_sign(params: TfheParams, key: rgsw.BootstrapKey,
         mod = (mod * 2 * beta) // q
         cttmp = lwe.mod_switch(cttmp, mod)
     cttmp = add_const(cttmp, beta)
-    x = np.arange(q, dtype=np.uint64)
+    # the ladder may end BELOW q: the MSB threshold is the ciphertext's
+    # CURRENT modulus (the reference's f3(x, ctMod, fmod) evaluates
+    # x < ctMod/2, binfhe-base-scheme.cpp:439-451)
+    cm = cttmp.modulus
+    x = np.arange(cm, dtype=np.uint64)
     if not scheme_switch:
-        f3 = np.where(x < q // 2, q // 4, q - q // 4)
+        f3 = np.where(x < cm // 2, q // 4, q - q // 4)
         out = bootstrap_func(params, key, cttmp, f3.astype(np.uint32), q,
                              ntt_impl)
         return sub_const(out, q >> 2)
-    f3 = np.where(x < q // 2, q - q // 4, q // 4)
+    f3 = np.where(x < cm // 2, q - q // 4, q // 4)
     return bootstrap_func(params, key, cttmp, f3.astype(np.uint32), q,
                           ntt_impl)
 

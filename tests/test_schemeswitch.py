@@ -72,9 +72,12 @@ def test_compare_scheme_switching(setup):
     tsk = tctx.key_gen(rng)
     key = ss.ckks_to_fhew_setup(ctx, sk, tctx.params, tsk, rng)
     tkey = tctx.bt_key_gen(tsk, rng)
+    # strictly unequal pairs: equality (diff = 0) sits exactly on the
+    # sign boundary and flips with the extraction noise (the reference's
+    # comparison has the same epsilon-band caveat)
     z1 = np.zeros(SLOTS); z2 = np.zeros(SLOTS)
     z1[:4] = [1.0, 3.0, 2.0, 0.0]
-    z2[:4] = [2.0, 1.0, 2.0, 3.0]
+    z2[:4] = [2.0, 1.0, 4.0, 3.0]
     ct1 = ctx.encrypt(pk, z1, rng)
     ct2 = ctx.encrypt(pk, z2, rng)
     out = ss.eval_compare_scheme_switching(ctx, key, ct1, ct2, tctx, tkey,
