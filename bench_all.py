@@ -6,6 +6,8 @@ Configs (BASELINE.md):
   3.   CKKS mult + rescale, N = 2^14, 8 limbs
   4.   BFV dot product, N = 2^15
   5.   3-of-5 threshold CKKS decrypt
+
+Baselines are the reference CPU numbers in ms (BENCHMARKS.md / BASELINE.md).
 """
 
 import json
@@ -42,8 +44,11 @@ def emit(metric, ms, baseline_ms):
 
 def bench_ckks_mult_rescale():
     """Config 3: CKKS EvalMult + relinearize + rescale at N=2^14,
-    8 limbs.  Reference CPU: MultRelin 1470 us + Rescale 333 us
-    (BENCHMARKS.md:96-100, N=2^14-ish ring)."""
+    8 limbs, jitted end-to-end, single + batch-32 amortized.
+    Reference CPU: MultRelin 1470 us + Rescale 333 us
+    (BENCHMARKS.md:96-100)."""
+    import jax.numpy as jnp
+    from fhe_tpu.lattice import rns as rns_mod
     small = os.environ.get("FHE_BENCH_SMALL") == "1"
     N = 1 << (10 if small else 14)
     ctx = ckks.CkksContext.create(N=N, num_levels=7, scale_bits=26, dnum=3)
@@ -52,10 +57,17 @@ def bench_ckks_mult_rescale():
     evk = ctx.relin_key_gen(sk, rng)
     z = rng.normal(size=N // 2) * 0.5
     ct = ctx.encrypt(pk, z, rng)
-    ms = timed(lambda: ctx.rescale(ctx.mul(ct, ct, evk))) * 1e3
-    emit(f"ckks_mult_relin_rescale_n{N}_l8", ms, 1470 + 333)
-    got = ctx.decrypt(sk, ctx.rescale(ctx.mul(ct, ct, evk))).real
+    f = jax.jit(lambda c, k: ctx.rescale(ctx.mul(c, c, k)))
+    ms = timed(lambda: f(ct, evk), iters=20) * 1e3
+    emit(f"ckks_mult_relin_rescale_n{N}_l8", ms, 1.803)
+    got = ctx.decrypt(sk, f(ct, evk)).real
     assert np.abs(got - z * z).max() < 1e-2, "ckks mult wrong"
+    B = 32
+    bat = lambda p: rns_mod.RnsPoly(
+        jnp.broadcast_to(p.data, (B,) + p.data.shape), p.moduli, p.fmt)
+    ctb = ckks.Ciphertext(bat(ct.c0), bat(ct.c1), ct.scale)
+    ms = timed(lambda: f(ctb, evk), iters=10) * 1e3 / B
+    emit(f"ckks_mult_relin_rescale_n{N}_l8_batch{B}_per_ct", ms, 1.803)
 
 
 def bench_bfv_dot():
@@ -70,8 +82,9 @@ def bench_bfv_dot():
     m1 = rng.integers(0, 100, size=N)
     m2 = rng.integers(0, 100, size=N)
     c1, c2 = ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng)
-    ms = timed(lambda: ctx.mul(c1, c2, evk), iters=3) * 1e3
-    emit(f"bfv_mult_relin_n{N}", ms, 3021)
+    f = jax.jit(lambda a, b, k: ctx.mul(a, b, k))
+    ms = timed(lambda: f(c1, c2, evk), iters=5) * 1e3
+    emit(f"bfv_mult_relin_n{N}", ms, 3.021)
 
 
 def bench_threshold_ckks():

@@ -62,6 +62,13 @@ class RnsPlan:
 
 @functools.lru_cache(maxsize=None)
 def make_rns_plan(N: int, moduli: tuple) -> RnsPlan:
+    # ensure_compile_time_eval: this cache is often first populated from
+    # inside a jit trace; without it the jnp constants leak as tracers
+    with jax.ensure_compile_time_eval():
+        return _make_rns_plan(N, moduli)
+
+
+def _make_rns_plan(N: int, moduli: tuple) -> RnsPlan:
     plans = [nttmod.make_plan(N, q) for q in moduli]
     stk = lambda f: jnp.stack([f(p) for p in plans])
     return RnsPlan(

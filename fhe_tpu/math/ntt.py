@@ -125,6 +125,11 @@ class MxuTables:
 @functools.lru_cache(maxsize=None)
 def make_mxu(N: int, q: int) -> MxuTables:
     """Lazy dense MXU matrices for (N, q)."""
+    with jax.ensure_compile_time_eval():
+        return _make_mxu(N, q)
+
+
+def _make_mxu(N: int, q: int) -> MxuTables:
     plan = make_plan(N, q)
     psi, d_full, d_out = plan.psi, plan.d_full, plan.d_out
     ninv = pow(N, -1, q)
@@ -154,6 +159,11 @@ def make_mxu(N: int, q: int) -> MxuTables:
 
 @functools.lru_cache(maxsize=None)
 def make_plan(N: int, q: int) -> NttPlan:
+    with jax.ensure_compile_time_eval():
+        return _make_plan(N, q)
+
+
+def _make_plan(N: int, q: int) -> NttPlan:
     assert N & (N - 1) == 0 and N >= 8
     assert q % (2 * N) == 1 and primes.is_prime(q) and q < 2**31
     logN = N.bit_length() - 1

@@ -37,6 +37,11 @@ def _split(N: int) -> tuple[int, int]:
 def make_fourstep(N: int, q: int):
     """Tables for the (N, q) four-step plan: int8 digit matrices for the
     two DFT factors, Montgomery twist/twiddle tables."""
+    with jax.ensure_compile_time_eval():
+        return _make_fourstep(N, q)
+
+
+def _make_fourstep(N: int, q: int):
     plan = nttmod.make_plan(N, q)
     n1, n2 = _split(N)
     psi = plan.psi

@@ -43,6 +43,11 @@ from . import boot, rgsw, lwe
 def _fused_tables(N: int, q: int, qinv_neg: int):
     """Host tables for the fused kernel: butterfly stage twiddles
     (ntt_pallas) + BR-permuted monomial exp-by-squaring tables + scalars."""
+    with jax.ensure_compile_time_eval():
+        return _fused_tables_impl(N, q)
+
+
+def _fused_tables_impl(N, q):
     f_tw, f_tws, g_tw, g_tws = ntp._stage_tables(N, q)
     plan = nttmod.make_plan(N, q)
     br = np.asarray(plan.br)
