@@ -231,6 +231,32 @@ def _double_angle(ctx: CkksContext, ct: Ciphertext, evk: rlwe.EvalKey,
     return ct
 
 
+def eval_bootstrap_iterative(ctx: CkksContext, ct: Ciphertext,
+                             precom: BootstrapPrecom, keys: dict,
+                             precision_bits: int = 10) -> Ciphertext:
+    """Two-iteration (META-BTS) bootstrap (ckksrns-fhe.cpp EvalBootstrap
+    numIterations=2 path :427-474): bootstrap once, measure the
+    bootstrapping error at 2^p amplification, bootstrap the error, and
+    subtract -- squaring the precision at the cost of a second bootstrap.
+
+    Float-exact scale bookkeeping replaces the reference's power-of-two
+    modulus juggling: amplification by 2^p is a scale relabel."""
+    from .advanced import adjust_to, add_aligned
+    p2 = float(1 << precision_bits)
+    b1 = eval_bootstrap(ctx, ct, precom, keys)
+    # bring the first bootstrap down to the input basis at the input scale
+    b1_low = adjust_to(ctx, b1, ct.moduli, ct.scale)
+    # error ciphertext: (b1 - ct) amplified by 2^p via scale relabel
+    err = Ciphertext(rns.sub(b1_low.c0, ct.c0), rns.sub(b1_low.c1, ct.c1),
+                     ct.scale / p2)
+    b2 = eval_bootstrap(ctx, err, precom, keys)
+    # subtract the re-scaled error estimate: b2 holds e1*2^p
+    b2_scaled = Ciphertext(b2.c0, b2.c1, b2.scale * p2)
+    neg = Ciphertext(rns.neg(b2_scaled.c0), rns.neg(b2_scaled.c1),
+                     b2_scaled.scale)
+    return add_aligned(ctx, b1, neg)
+
+
 def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
                    precom: BootstrapPrecom, keys: dict) -> Ciphertext:
     """EvalBootstrap (fully packed): returns a ciphertext encrypting the

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import base64
 import dataclasses
+import enum
 import io
 import json
 from typing import Any
@@ -47,6 +48,12 @@ def _flatten(obj, path: str, arrays: dict, spec: dict):
         spec[path] = {"kind": "array"}
     elif isinstance(obj, (int, float, str, bool)):
         spec[path] = {"kind": "scalar", "value": obj}
+    elif isinstance(obj, bytes):
+        spec[path] = {"kind": "bytes"}
+        arrays[path] = np.frombuffer(obj, dtype=np.uint8)
+    elif isinstance(obj, enum.Enum):
+        spec[path] = {"kind": "enum", "type": _type_tag(obj),
+                      "name": obj.name}
     elif isinstance(obj, tuple):
         spec[path] = {"kind": "tuple", "items": len(obj)}
         for i, v in enumerate(obj):
@@ -81,6 +88,11 @@ def _unflatten(path: str, arrays: dict, spec: dict):
         return jnp.asarray(arrays[path])
     if kind == "scalar":
         return ent["value"]
+    if kind == "bytes":
+        return arrays[path].tobytes()
+    if kind == "enum":
+        cls = _REGISTRY.get(ent["type"]) or _import_type(ent["type"])
+        return cls[ent["name"]]
     if kind == "tuple":
         return tuple(_unflatten(f"{path}.{i}", arrays, spec)
                      for i in range(ent["items"]))

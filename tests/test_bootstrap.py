@@ -53,3 +53,22 @@ def test_bootstrap_output_is_computable(boot_setup):
     sq = ctx.rescale(ctx.mul(out, out, keys["evk"]))
     got = ctx.decrypt(sk, sq).real
     assert np.abs(got - z * z).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_iterative_bootstrap_improves_precision(boot_setup):
+    """META-BTS: the 2-iteration bootstrap beats single-iteration
+    precision (ckksrns-fhe.cpp numIterations=2)."""
+    ctx, sk, pk, pre, keys, rng = boot_setup
+    z = rng.uniform(-0.4, 0.4, size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    drop = len(ct.moduli) - ctx.cd
+    ct1 = ckks.Ciphertext(rns.level_reduce(ct.c0, drop),
+                          rns.level_reduce(ct.c1, drop), ct.scale)
+    one = bootstrap.eval_bootstrap(ctx, ct1, pre, keys)
+    two = bootstrap.eval_bootstrap_iterative(ctx, ct1, pre, keys,
+                                             precision_bits=8)
+    e1 = np.abs(ctx.decrypt(sk, one).real - z).max()
+    e2 = np.abs(ctx.decrypt(sk, two).real - z).max()
+    assert e2 < e1 / 4        # expect ~2^8 in theory; demand >= 4x
+    assert len(two.moduli) >= 2 * ctx.cd

@@ -66,3 +66,22 @@ def test_file_roundtrip(tmp_path, rng):
     serial.save(sk, p)
     back = serial.load(p)
     _eq_tree(sk, back)
+
+
+def test_new_key_types_roundtrip(rng):
+    """Serialization of the round-1 additions: threshold shares (bytes
+    commitments), witness structures, and accumulator keys."""
+    from fhe_tpu.utils import serial
+    from fhe_tpu.tfhe import threshold as th
+    cfg = th.ThresholdConfig(threshold=2, total_parties=2,
+                             scheme="additive")
+    shares, vks = th.generate_key_shares(
+        rng.integers(-1, 2, size=32), 512, cfg)
+    blob = serial.dumps(shares[0])
+    back = serial.loads(blob)
+    np.testing.assert_array_equal(back.share, shares[0].share)
+    assert back.commitment == shares[0].commitment
+    jblob = serial.dumps(vks, mode="json")
+    back2 = serial.loads(jblob, mode="json")
+    assert back2[1].party_id == vks[1].party_id
+    assert back2[1].commitment == vks[1].commitment
