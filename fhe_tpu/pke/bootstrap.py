@@ -49,11 +49,11 @@ from .advanced import eval_chebyshev_series_ps, add_aligned
 
 @dataclasses.dataclass
 class BootstrapPrecom:
-    slots: int               # N/2 (fully packed)
+    slots: int               # N/2 (fully packed) or s < N/2 (sparse)
     K: int                   # sine range: |v| <= K*q0
     r: int                   # double-angle iterations
     cheb_coeffs: list        # Chebyshev coeffs of the scaled cosine
-    E_lo: np.ndarray         # [n, n] complex
+    E_lo: np.ndarray         # [n, n] (full) / [s, s] small embedding (sparse)
     rot_indices: list        # rotation keys needed (BSGS baby+giant)
     bsgs_g: int              # baby-step count
 
@@ -104,19 +104,37 @@ def _E_lo(N: int) -> np.ndarray:
 
 
 def setup(ctx: CkksContext, h: int, r: int = 3,
-          tol: float = 1e-9) -> BootstrapPrecom:
+          tol: float = 1e-9, slots: int | None = None) -> BootstrapPrecom:
     """EvalBootstrapSetup: build LT matrices + sine approximation for a
-    sparse-ternary secret of Hamming weight h."""
+    sparse-ternary secret of Hamming weight h.
+
+    slots=s < N/2 precomputes the SPARSELY PACKED pipeline
+    (ckksrns-fhe.cpp:703-790): the partial sum multiplies the message by
+    d = N/(2s) and folds the q0-overflow integers of d automorphism
+    images into each subring coefficient, so the sine range K grows by
+    ~sqrt(d) (random-walk heuristic on the folded I coefficients)."""
     N = ctx.params.N
     n = N // 2
+    s = slots or n
+    if n % s or s > n:
+        raise ValueError("slots must be a power-of-two divisor of N/2")
+    d = n // s
     K = (h + 1) // 2 + 4            # |c0 + c1*s|/q0 <= (h+1)/2, plus margin
+    if d > 1:
+        K = int(math.ceil(K * math.sqrt(d)))
     coeffs = _sine_cheb_coeffs(K, r, tol)
-    E = _E_lo(N)
-    # sanity: sqrt(N/2)-unitarity of the half-embedding
-    err = np.abs(E.conj().T @ E - (N / 2) * np.eye(n)).max()
-    assert err < 1e-6 * N, f"E_lo not unitary: {err}"
-    g, rots = _bsgs_rotations(n)
-    return BootstrapPrecom(slots=n, K=K, r=r, cheb_coeffs=coeffs,
+    if d == 1:
+        E = _E_lo(N)
+        # sanity: sqrt(N/2)-unitarity of the half-embedding
+        err = np.abs(E.conj().T @ E - (N / 2) * np.eye(n)).max()
+        assert err < 1e-6 * N, f"E_lo not unitary: {err}"
+        g, rots = _bsgs_rotations(n)
+    else:
+        E = _E_lo(2 * s)            # small-ring half embedding [s, s]
+        g, rots = _bsgs_rotations(s)
+        part = [s << i for i in range((n // s).bit_length() - 1)]
+        rots = sorted(set(rots + part + [s]))
+    return BootstrapPrecom(slots=s, K=K, r=r, cheb_coeffs=coeffs,
                            E_lo=E, rot_indices=rots, bsgs_g=g)
 
 
@@ -160,6 +178,44 @@ def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
             if i not in babies:
                 babies[i] = ctx.rotate(ct, i, rot_keys)
             term = ctx.mul_plain(babies[i], np.roll(diag, j * g))
+            inner = term if inner is None else ctx.add(inner, term)
+        if inner is None:
+            continue
+        if j > 0:
+            inner = ctx.rotate(inner, j * g, rot_keys)
+        out = inner if out is None else ctx.add(out, inner)
+    return ctx.rescale(out)
+
+
+def bsgs_rect_transform(ctx: CkksContext, ct: Ciphertext, A: np.ndarray,
+                        rot_keys: dict, g: int) -> Ciphertext:
+    """Rectangular diagonal-method transform for the sparse bootstrap
+    (EvalLinearTransformPrecompute two-matrix variant,
+    ckksrns-fhe.cpp:1047-1134).  A is [R, C] with min(R, C) = s diagonals
+    of length L = max(R, C); diagonal idx is vec[k] = A[k % R, (k+idx) % C]
+    encoded as an L-slot (period-L replicated) plaintext.  On a ciphertext
+    whose slot vector is C-periodic this computes, in slot j:
+    out_j = sum_idx A[j % R, (j+idx) % C] * x_{(j+idx) % C}
+    -- the vertical stack [M; M'] maps s-periodic inputs to 2s-periodic
+    outputs (rows split across slot blocks); the horizontal [M | M'] needs
+    the caller's final rotate(s)+add to complete each row sum."""
+    R, C = A.shape
+    L = max(R, C)
+    s = min(R, C)
+    b = -(-s // g)
+    kk = np.arange(L)
+    babies = {0: ct}
+    out = None
+    for j in range(b):
+        inner = None
+        for i in range(g):
+            idx = j * g + i
+            if idx >= s:
+                break
+            diag = A[kk % R, (kk + idx) % C]
+            if i not in babies:
+                babies[i] = ctx.rotate(ct, i, rot_keys)
+            term = ctx.mul_plain(babies[i], np.roll(diag, j * g), slots=L)
             inner = term if inner is None else ctx.add(inner, term)
         if inner is None:
             continue
@@ -257,13 +313,61 @@ def eval_bootstrap_iterative(ctx: CkksContext, ct: Ciphertext,
     return add_aligned(ctx, b1, neg)
 
 
+def _eval_bootstrap_sparse(ctx: CkksContext, ct: Ciphertext,
+                           precom: BootstrapPrecom, keys: dict
+                           ) -> Ciphertext:
+    """Sparsely packed bootstrap (ckksrns-fhe.cpp:703-790): partial sum
+    folds the raised ciphertext onto the subring (message scaled by d);
+    CoeffsToSlots = vertical [E^H; -iE^H] placing ALL 2s subring
+    coefficients as real values in 2s slots, so ONE sine branch suffices;
+    SlotsToCoeffs = horizontal [E | iE] completed by a rotate(s)+add."""
+    N = ctx.params.N
+    s = precom.slots
+    n = N // 2
+    d = n // s
+    q0 = float(_q0(ctx))
+    delta_in = ct.scale
+
+    raised = _raise_to_full(ctx, ct)
+
+    # ---- PartialSum: project onto the subring Z[X^{N/(2s)}]; message
+    # coefficients gain a factor d, overflow integers stay integers.
+    j = 1
+    while j < d:
+        raised = ctx.add(raised, ctx.rotate(raised, j * s, keys["rot"]))
+        j <<= 1
+
+    E = precom.E_lo                     # [s, s] small-ring half embedding
+    # ---- CoeffsToSlots: slot values become c_t/(2K*q0), t < 2s
+    V = np.vstack([E.conj().T, -1j * E.conj().T]) / (s * 2 * precom.K)
+    enc = bsgs_rect_transform(ctx, raised, V, keys["rot"], precom.bsgs_g)
+    # conj-add doubles the real part: values c_t/(K*q0)
+    enc = ctx.add(enc, ctx.conjugate(enc, keys["conj"]))
+
+    # ---- single-branch approximate mod reduction
+    y = eval_chebyshev_series_ps(ctx, enc, precom.cheb_coeffs,
+                                 -1.0, 1.0, keys["evk"])
+    y = _double_angle(ctx, y, keys["evk"], precom.r)
+
+    # ---- SlotsToCoeffs + rotate(s)-add to complete the row sums
+    H = np.hstack([E, 1j * E])
+    out = bsgs_rect_transform(ctx, y, H, keys["rot"], precom.bsgs_g)
+    out = ctx.add(out, ctx.rotate(out, s, keys["rot"]))
+
+    # subring coefficients now hold d*delta_in*v/q0 at scale out.scale
+    return Ciphertext(out.c0, out.c1, out.scale * d * delta_in / q0)
+
+
 def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
                    precom: BootstrapPrecom, keys: dict) -> Ciphertext:
-    """EvalBootstrap (fully packed): returns a ciphertext encrypting the
-    same message with the level budget refreshed."""
+    """EvalBootstrap: returns a ciphertext encrypting the same message
+    with the level budget refreshed.  Dispatches to the sparsely packed
+    pipeline when precom was set up with slots < N/2."""
     params = ctx.params
     N = params.N
     n = precom.slots
+    if n < N // 2:
+        return _eval_bootstrap_sparse(ctx, ct, precom, keys)
     cd = ctx.cd
     q0 = float(_q0(ctx))
     delta_in = ct.scale

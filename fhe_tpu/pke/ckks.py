@@ -46,27 +46,47 @@ def _embedding_tables(N: int):
     return t, t_conj, zeta_pow
 
 
-def encode(z, N: int, scale: float) -> np.ndarray:
-    """Complex slots [<=N/2] -> integer coefficients [N] (signed int64)."""
-    slots = N // 2
+def encode(z, N: int, scale: float, slots: int | None = None) -> np.ndarray:
+    """Complex slots -> integer coefficients [N] (signed int64).
+
+    Default (slots=None): fully packed, N/2 slots, short inputs zero-padded.
+    Explicit slots=s < N/2: SPARSE packing (ckkspackedencoding.cpp:115-192 +
+    FitToNativeVector gap placement :522-530) -- the message is encoded on
+    the subring Z[Y]/(Y^{2s}+1), Y = X^{N/(2s)}: the 2s small-ring
+    coefficients land on a stride-N/(2s) grid, and the full-ring slot view
+    is the s-slot message replicated N/(2s) times (period s)."""
+    s = slots or N // 2
+    n2 = 2 * s                           # small-ring dimension
+    d = N // n2                          # coefficient stride (gap)
     z = np.asarray(z, dtype=np.complex128)
-    if z.shape[-1] < slots:
-        # replicate short messages (reference pads by cycling is not used;
-        # we zero-pad like MakeCKKSPackedPlaintext with fewer slots)
-        z = np.concatenate([z, np.zeros(slots - z.shape[-1],
+    if z.shape[-1] < s:
+        z = np.concatenate([z, np.zeros(s - z.shape[-1],
                                         dtype=np.complex128)])
-    t, t_conj, zeta = _embedding_tables(N)
-    F = np.zeros(N, dtype=np.complex128)
+    t, t_conj, zeta = _embedding_tables(n2)
+    F = np.zeros(n2, dtype=np.complex128)
     F[t] = z
     F[t_conj] = np.conj(z)
-    w = np.fft.fft(F) / N                # inverse of S = N * ifft(w)
-    m = np.real(w / zeta) * scale
+    w = np.fft.fft(F) / n2               # inverse of S = n2 * ifft(w)
+    v = np.real(w / zeta) * scale        # small-ring real coefficients [2s]
+    if d == 1:
+        m = v
+    else:
+        m = np.zeros(N, dtype=np.float64)
+        m[::d] = v
     return np.rint(m).astype(np.int64)
 
 
-def decode(m: np.ndarray, N: int, scale: float, slots: int | None = None
-           ) -> np.ndarray:
-    """Signed coefficients [N] -> complex slots [N/2]."""
+def decode(m: np.ndarray, N: int, scale: float, slots: int | None = None,
+           sparse: bool = False) -> np.ndarray:
+    """Signed coefficients [N] -> complex slots.
+
+    sparse=True with slots=s reads the stride-N/(2s) subring coefficients
+    (the reference decode's gap walk, ckkspackedencoding.cpp:341-401);
+    sparse=False decodes fully packed and truncates to `slots`."""
+    if sparse and slots and slots < N // 2:
+        d = N // (2 * slots)
+        m = m[::d]                       # [2*slots] small-ring coefficients
+        N = 2 * slots
     t, _t_conj, zeta = _embedding_tables(N)
     w = m.astype(np.float64) * zeta
     S = N * np.fft.ifft(w)
@@ -198,19 +218,22 @@ class CkksContext:
 
     # -- encode/encrypt -----------------------------------------------------
     def make_plaintext(self, z, level_mods: tuple | None = None,
-                       scale: float | None = None) -> tuple[RnsPoly, float]:
+                       scale: float | None = None,
+                       slots: int | None = None) -> tuple[RnsPoly, float]:
         mods = level_mods or tuple(self.params.moduli)
         scale = scale or self.scale
-        m = encode(z, self.params.N, scale)
+        m = encode(z, self.params.N, scale, slots=slots)
         return rns.to_eval(rlwe.signed_to_rns(m, mods)), scale
 
-    def encrypt(self, pk: rlwe.PublicKey, z, rng) -> Ciphertext:
-        m, scale = self.make_plaintext(z)
+    def encrypt(self, pk: rlwe.PublicKey, z, rng,
+                slots: int | None = None) -> Ciphertext:
+        """slots=s < N/2 encrypts sparsely packed (subring encoding)."""
+        m, scale = self.make_plaintext(z, slots=slots)
         c0, c1 = rlwe.encrypt_pk(self.params, pk, m, rng)
         return Ciphertext(c0=c0, c1=c1, scale=scale)
 
     def decrypt(self, sk: rlwe.SecretKey, ct: Ciphertext,
-                slots: int | None = None,
+                slots: int | None = None, sparse: bool = False,
                 flood_rng: np.random.Generator | None = None,
                 flood_sd: float = float(1 << 20)) -> np.ndarray:
         """Decrypt; if flood_rng is given, Gaussian noise of std flood_sd
@@ -235,7 +258,7 @@ class CkksContext:
         for q in ct.moduli:
             Q *= q
         m = _center(big, Q)
-        return decode(m, self.params.N, ct.scale, slots)
+        return decode(m, self.params.N, ct.scale, slots, sparse=sparse)
 
     # -- leveled ops ----------------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
@@ -246,15 +269,18 @@ class CkksContext:
         assert abs(a.scale - b.scale) < 1e-6 * a.scale and a.moduli == b.moduli
         return Ciphertext(rns.sub(a.c0, b.c0), rns.sub(a.c1, b.c1), a.scale)
 
-    def add_plain(self, a: Ciphertext, z) -> Ciphertext:
-        m, _ = self.make_plaintext(z, a.moduli, a.scale)
+    def add_plain(self, a: Ciphertext, z,
+                  slots: int | None = None) -> Ciphertext:
+        m, _ = self.make_plaintext(z, a.moduli, a.scale, slots=slots)
         return Ciphertext(rns.add(a.c0, m), a.c1, a.scale)
 
-    def mul_plain(self, a: Ciphertext, z) -> Ciphertext:
+    def mul_plain(self, a: Ciphertext, z,
+                  slots: int | None = None) -> Ciphertext:
         """Plaintext multiply.  The encode scale is chosen so that after
         the caller's rescale the result lands EXACTLY on the level target
         scale, absorbing any drift in a.scale (FLEXIBLEAUTO plaintext
-        scale adjustment)."""
+        scale adjustment).  slots=s encodes the plaintext sparsely
+        (period-s replicated slot vector)."""
         L = len(a.moduli)
         if L - self.cd >= self.cd:
             q_block = 1.0
@@ -263,7 +289,7 @@ class CkksContext:
             pt_scale = self.level_scale(L - self.cd) * q_block / a.scale
         else:
             pt_scale = self.scale
-        m, sc = self.make_plaintext(z, a.moduli, pt_scale)
+        m, sc = self.make_plaintext(z, a.moduli, pt_scale, slots=slots)
         return Ciphertext(rns.mul(a.c0, m), rns.mul(a.c1, m), a.scale * sc)
 
     def mul(self, a: Ciphertext, b: Ciphertext,

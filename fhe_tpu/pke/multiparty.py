@@ -16,9 +16,11 @@ share pytrees and is jit/shard_map compatible.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..lattice import rns
 from ..lattice.rns import RnsPoly, EVAL
@@ -58,9 +60,33 @@ def multiparty_keygen(params, n_parties: int, rng: np.random.Generator):
 def _flood_noise(params, moduli: tuple, rng: np.random.Generator,
                  sd: float = MP_SD) -> RnsPoly:
     """Large-deviation Gaussian for noise flooding (MP_SD = 2^20,
-    rns-multiparty.cpp:100-106)."""
+    rns-multiparty.cpp:100-106).  Host-side variant (numpy rng)."""
     e = np.rint(rng.normal(0.0, sd, size=params.N)).astype(np.int64)
     return rns.to_eval(rlwe.signed_to_rns(e, moduli))
+
+
+@functools.lru_cache(maxsize=None)
+def _share_fn(moduli: tuple, N: int, ns: int, lead: bool, sd: float):
+    """Jitted whole-share op: sample the flooding Gaussian ON DEVICE
+    (jax.random threefry, rounded to ints -- the flooding deviate only
+    needs its statistical size, not bit-parity with a host sampler),
+    embed it in RNS, and fuse s*c1 (+ c0) + ns*e in one compiled call.
+    One compilation per (chain, role)."""
+    qs = [int(q) for q in moduli]
+
+    def f(s_data, c1_data, c0_data, key):
+        e = jnp.round(jax.random.normal(key, (N,)) * sd).astype(jnp.int32)
+        planes = [(((e % q) + q) % q).astype(jnp.uint32) for q in qs]
+        e_eval = rns.to_eval(RnsPoly(jnp.stack(planes), moduli, rns.COEFF))
+        if ns != 1:
+            e_eval = rns.mul_scalar(e_eval, ns)
+        share = rns.mul(RnsPoly(s_data, moduli, EVAL),
+                        RnsPoly(c1_data, moduli, EVAL))
+        if lead:
+            share = rns.add(RnsPoly(c0_data, moduli, EVAL), share)
+        return rns.add(share, e_eval).data
+
+    return jax.jit(f)
 
 
 def decrypt_lead(params, sk: rlwe.SecretKey, c0: RnsPoly, c1: RnsPoly,
@@ -68,11 +94,11 @@ def decrypt_lead(params, sk: rlwe.SecretKey, c0: RnsPoly, c1: RnsPoly,
     """Lead share: c0 + s*c1 + ns*e_flood (rns-multiparty.cpp:45-108)."""
     ns = params.plain_mod if params.scheme == "BGV" else 1
     s = sk.eval_poly(c0.moduli)
-    e = _flood_noise(params, c0.moduli, rng)
-    if ns != 1:
-        e = rns.mul_scalar(e, ns)
-    share = rns.add(rns.add(c0, rns.mul(s, c1)), e)
-    return PartialDecryption(share=share, is_lead=True)
+    f = _share_fn(tuple(c0.moduli), params.N, int(ns), True, MP_SD)
+    key = jax.random.key(int(rng.integers(1 << 62)))
+    data = f(s.data, c1.data, c0.data, key)
+    return PartialDecryption(share=RnsPoly(data, c0.moduli, EVAL),
+                             is_lead=True)
 
 
 def decrypt_main(params, sk: rlwe.SecretKey, c1: RnsPoly,
@@ -80,10 +106,11 @@ def decrypt_main(params, sk: rlwe.SecretKey, c1: RnsPoly,
     """Non-lead share: s*c1 + ns*e_flood (rns-multiparty.cpp:111-164)."""
     ns = params.plain_mod if params.scheme == "BGV" else 1
     s = sk.eval_poly(c1.moduli)
-    e = _flood_noise(params, c1.moduli, rng)
-    if ns != 1:
-        e = rns.mul_scalar(e, ns)
-    return PartialDecryption(share=rns.add(rns.mul(s, c1), e), is_lead=False)
+    f = _share_fn(tuple(c1.moduli), params.N, int(ns), False, MP_SD)
+    key = jax.random.key(int(rng.integers(1 << 62)))
+    data = f(s.data, c1.data, c1.data, key)
+    return PartialDecryption(share=RnsPoly(data, c1.moduli, EVAL),
+                             is_lead=False)
 
 
 def fuse(shares: list[PartialDecryption]) -> RnsPoly:
@@ -108,15 +135,20 @@ def fuse(shares: list[PartialDecryption]) -> RnsPoly:
 # secret s = sum_i s_i), over the compressed basis Qc of the input ct:
 #   h0_i = (s_i*c1 + e0_i - M_i) mod Qc     (masked decryption share)
 #   h1_i = -s_i*a + e1_i + M_i              (re-encryption share, mod Q)
-# with integer masks M_i uniform in [0, Qc/(4n)).  The mod-Qc ring
+# with integer masks M_i uniform in [0, Qc/(8n)).  The mod-Qc ring
 # arithmetic in h0 kills the q*I phase-wrap term, and the bound on the
-# masks plus |m + e| < Qc/4 means the centered representative of
+# masks plus |m + e| < Qc/8 means the centered representative of
 # w = (c0 + sum h0_i) mod Qc equals m + e - sum M_i EXACTLY (no wrap).
 # Lifting w to the full basis and adding sum h1_i cancels the masks:
 #   c0' = lift(w) + sum h1_i,  c1' = a,   c0' + a*s = m + e.
-# The reference works over R_{q*2^lambda} for the same cancellation with
-# a 2^lambda statistical-hiding factor; here the hiding factor is
-# Qc/(4n*|value|) -- extend the compression basis for production use.
+#
+# Statistical hiding (reference: Mi uniform over R_{q*2^lambda},
+# ckksrns-multiparty.cpp GenerateMi :288-299 + ExpandCRTBasis exact
+# integer lift :313-325): the compressed basis keeps `extra_limbs`
+# limbs ABOVE the base rescale block (int_boot_adjust_scale), so the
+# mask range Qc/(8n) exceeds the value bound |m + e| ~ scale by
+# lambda = log2(Qc / (8n * scale)) bits -- with the default 2 extra
+# 31-bit limbs, lambda >= ~55 bits of statistical distance.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,11 +170,13 @@ def _centered_lift(p: RnsPoly, to_mods: tuple) -> RnsPoly:
     return rlwe.signed_to_rns(signed, to_mods)
 
 
-def int_boot_adjust_scale(ctx, ct):
+def int_boot_adjust_scale(ctx, ct, extra_limbs: int = 2):
     """IntBootAdjustScale: compress the ciphertext to the base rescale
-    block (Compress(...), ckksrns-multiparty.cpp:452)."""
+    block plus `extra_limbs` statistical-hiding limbs (Compress(...),
+    ckksrns-multiparty.cpp:452; the reference's ciphertext compression
+    level likewise keeps headroom towers above the mask range)."""
     from .ckks import Ciphertext
-    keep = ctx.cd
+    keep = min(ctx.cd + extra_limbs, len(ct.moduli))
     drop = len(ct.moduli) - keep
     if drop <= 0:
         return ct
@@ -182,7 +216,7 @@ def int_mp_boot_decrypt(params, sk: rlwe.SecretKey, ct_low, a: RnsPoly,
     Qc = 1
     for q in qc_mods:
         Qc *= q
-    m_coeffs = _bounded_mask(rng, N, Qc // (4 * n_parties))
+    m_coeffs = _bounded_mask(rng, N, Qc // (8 * n_parties))
     m_qc = rns.to_eval(rlwe.signed_to_rns(m_coeffs, qc_mods))
     m_full = rns.to_eval(rlwe.signed_to_rns(m_coeffs, full_mods))
 

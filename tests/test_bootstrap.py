@@ -56,6 +56,29 @@ def test_bootstrap_output_is_computable(boot_setup):
 
 
 @pytest.mark.slow
+def test_sparse_bootstrap():
+    """Sparsely packed bootstrap (slots < N/2; ckksrns-fhe.cpp:703-790):
+    partial sum onto the subring, one-branch sine, rect transforms."""
+    slots = 8
+    ctx = ckks.CkksContext.create(N=N, num_levels=13, scale_bits=52,
+                                  dnum=2, composite_degree=2)
+    rng = np.random.default_rng(7)
+    sk, pk = ctx.keygen(rng, h=H)
+    pre = bootstrap.setup(ctx, h=H, slots=slots)
+    keys = bootstrap.keygen(ctx, sk, pre, rng)
+    z = rng.uniform(-0.4, 0.4, size=slots) + \
+        1j * rng.uniform(-0.4, 0.4, size=slots)
+    ct = ctx.encrypt(pk, z, rng, slots=slots)
+    drop = len(ct.moduli) - ctx.cd
+    ct1 = ckks.Ciphertext(rns.level_reduce(ct.c0, drop),
+                          rns.level_reduce(ct.c1, drop), ct.scale)
+    out = bootstrap.eval_bootstrap(ctx, ct1, pre, keys)
+    assert len(out.moduli) >= 3 * ctx.cd
+    got = ctx.decrypt(sk, out, slots=slots, sparse=True)
+    assert np.abs(got - z).max() < 1e-3
+
+
+@pytest.mark.slow
 def test_iterative_bootstrap_improves_precision(boot_setup):
     """META-BTS: the 2-iteration bootstrap beats single-iteration
     precision (ckksrns-fhe.cpp numIterations=2)."""

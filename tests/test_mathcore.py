@@ -98,3 +98,23 @@ def test_trapdoor_preimage(rng):
     # preimage entries stay small relative to q (short vector)
     xc = np.where(x > params.q // 2, x - params.q, x)
     assert np.abs(xc).max() < params.q // 4
+
+
+def test_trapdoor_preimage_corrected(rng):
+    """Full MP12 pipeline (dgsampling parity): randomized G-sampling +
+    covariance-corrected perturbation; preimages stay correct, short,
+    and ~spherical at width s."""
+    params = trapdoor.TrapdoorParams(N=64,
+                                     q=primes.last_prime(27, 128), base=2)
+    td = trapdoor.trapdoor_gen(params, rng)
+    u = rng.integers(0, params.q, size=params.N)
+    x = trapdoor.gauss_samp_corrected(td, u, rng)
+    assert trapdoor.verify_preimage(td, x, u)
+    xc = np.where(x > params.q // 2, x - params.q, x).astype(np.float64)
+    alpha = params.sigma * (params.base + 1)
+    import math
+    s = alpha * params.sigma * 1.2 * (math.sqrt(2 * params.N) +
+                                      math.sqrt(params.k * params.N) + 4.7)
+    assert np.abs(xc).max() < 10 * s            # short relative to width
+    std = xc.std()
+    assert 0.2 * s < std < 3.0 * s              # spherical-ish scale

@@ -83,7 +83,9 @@ def test_interactive_mp_bootstrap(rng):
     z = rng.normal(size=N // 2) * 0.5
     ct = ctx.encrypt(pk, z, rng)
     low = multiparty.int_boot_adjust_scale(ctx, ct)
-    assert len(low.moduli) == ctx.cd
+    # base block + 2 statistical-hiding limbs (masks range over Qc/(8n),
+    # ~2^53 above the value bound -- the reference's R_{q*2^lambda})
+    assert len(low.moduli) == ctx.cd + 2
 
     a = multiparty.int_mp_boot_random_gen(ctx.params, rng)
     shares = [multiparty.int_mp_boot_decrypt(ctx.params, sk, low, a, rng)
