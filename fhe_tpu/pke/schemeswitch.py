@@ -169,7 +169,8 @@ def fhew_to_ckks_setup(ctx: CkksContext, sk: rlwe.SecretKey,
 
 def eval_fhew_to_ckks(ctx: CkksContext, key: FhewToCkksKey,
                       cts: tlwe.LweCiphertext, evk: rlwe.EvalKey,
-                      p: int = 4) -> Ciphertext:
+                      p: int = 4, pmin: float = 0.0,
+                      pmax: float = 1.0) -> Ciphertext:
     """EvalFHEWtoCKKS (:106): homomorphically compute the LWE phases
     (b - A s)/q in CKKS slots, then interpolate the message with a
     Chebyshev sine series (1/2pi)*sin(2*pi*x) ~ frac(x), scaled by p."""
@@ -193,16 +194,27 @@ def eval_fhew_to_ckks(ctx: CkksContext, key: FhewToCkksKey,
     bz[:B] = b / (q * K)
     phase = ctx.add_plain(Ciphertext(rns.neg(As.c0), rns.neg(As.c1),
                                      As.scale), bz)
-    # binary messages (gate outputs, pt_mod=4 with values {0,1} encoded
-    # at {0, q/4}): frac(phase) is {0, 1/4} + noise/q, and sin(2*pi*x)
-    # maps that to {0, 1} with a FLAT response at 1 (cos(pi/2)=0) -- the
-    # reference's sine interpolation specialized to the binary case
-    # (general p-ary lattice interpolation planned).
+    # Sine interpolation of the phase (reference EvalFHEWtoCKKS,
+    # ckksrns-schemeswitching.cpp:1550-1690).  p <= 4 (binary gate
+    # outputs at {0, q/4}): sin(2*pi*x) maps {0, 1/4} to {0, 1} with a
+    # FLAT response at 1 (cos(pi/2) = 0); post-scale 2*pi.  p > 4
+    # (p-ary): post-scale p, giving y ~ (p/2pi)*sin(2*pi*m/p) -- the
+    # reference's documented p-ary contract (exact near m = 0 mod p,
+    # sinc-attenuated further out; callers with centered ranges pass
+    # pmin/pmax for the affine remap, :1663-1676).
     coeffs = _sine_cheb_coeffs(K, r=3, tol=1e-7)
     y = eval_chebyshev_series_ps(ctx, phase, coeffs, -1.0, 1.0, evk)
     from .bootstrap import _double_angle
     y = _double_angle(ctx, y, evk, 3)
-    return ctx.mul_plain(y, np.full(slots, 2.0 * np.pi))
+    post_scale = 2.0 * np.pi if 1 <= p <= 4 else float(p)
+    post_bias = 0.0
+    if pmin != 0.0:
+        post_scale *= (pmax - pmin) / 4.0
+        post_bias = (pmax - pmin) / 4.0
+    out = ctx.mul_plain(y, np.full(slots, post_scale))
+    if post_bias:
+        out = ctx.add_plain(out, np.full(slots, post_bias))
+    return out
 
 
 # ---------------------------------------------------------------------------

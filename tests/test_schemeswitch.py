@@ -62,6 +62,22 @@ def test_fhew_to_ckks_bits(setup):
 
 
 @pytest.mark.slow
+def test_fhew_to_ckks_pary(setup):
+    """p > 4: the reference's p-ary contract (ckksrns-schemeswitching.cpp
+    :1663-1676) -- output ~ (p/2pi)*sin(2*pi*m/p), exact at m=0 and
+    sinc-attenuated further out."""
+    ctx, sk, pk, evk, tctx, tsk, rng = setup
+    p = 8
+    m = rng.integers(0, 2, size=32)       # small messages vs p
+    cts = tctx.encrypt(tsk, m, rng, p=p)
+    k2 = ss.fhew_to_ckks_setup(ctx, sk, tsk, pk, rng)
+    out = ss.eval_fhew_to_ckks(ctx, k2, cts, evk, p=p)
+    got = ctx.decrypt(sk, out).real[:32]
+    want = (p / (2 * np.pi)) * np.sin(2 * np.pi * m / p)
+    assert np.abs(got - want).max() < 0.1
+
+
+@pytest.mark.slow
 def test_compare_scheme_switching(setup):
     """EvalCompareSchemeSwitching: sign(ct1 - ct2) via FHEW sign
     bootstraps (1 iff ct1 < ct2 per the difference-sign convention).
