@@ -139,13 +139,30 @@ def setup(ctx: CkksContext, h: int, r: int = 3,
 
 
 def keygen(ctx: CkksContext, sk: rlwe.SecretKey, precom: BootstrapPrecom,
-           rng: np.random.Generator) -> dict:
-    """EvalBootstrapKeyGen: BSGS rotation keys + conjugation + relin."""
-    return {
+           rng: np.random.Generator,
+           encapsulate_h: int | None = None) -> dict:
+    """EvalBootstrapKeyGen: BSGS rotation keys + conjugation + relin.
+
+    encapsulate_h enables SPARSE_ENCAPSULATED mode (ckksrns-fhe.cpp
+    :270-281, :534-557): the main secret stays DENSE (uniform ternary)
+    for security; keygen draws a weight-h sparse helper secret and two
+    switching keys (the reference reserves automorphism slots M-4/M-2
+    for them).  eval_bootstrap switches to the sparse secret just for
+    the modulus raise -- bounding the overflow integers by the sparse
+    weight, so the sine range K stays small -- then switches back."""
+    keys = {
         "rot": ctx.rotation_key_gen(sk, precom.rot_indices, rng),
         "conj": ctx.conj_key_gen(sk, rng),
         "evk": ctx.relin_key_gen(sk, rng),
     }
+    if encapsulate_h is not None:
+        mods = tuple(ctx.params.moduli)
+        sk2 = rlwe.keygen(ctx.params, rng, h=encapsulate_h)
+        keys["swk_down"] = rlwe.evk_gen(ctx.params, sk.eval_poly(mods),
+                                        sk2, rng)       # dense -> sparse
+        keys["swk_up"] = rlwe.evk_gen(ctx.params, sk2.eval_poly(mods),
+                                      sk, rng)          # sparse -> dense
+    return keys
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +276,23 @@ def _raise_to_full(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
     return Ciphertext(lift(c0), lift(c1), float(q0))
 
 
+def _raise(ctx: CkksContext, ct: Ciphertext, keys: dict) -> Ciphertext:
+    """Modulus raise, with the SPARSE_ENCAPSULATED detour when the keygen
+    provided switching keys (ckksrns-fhe.cpp:534-557): switch the base-
+    block ciphertext to the sparse helper secret, raise under it (small
+    overflow integers), then switch back to the dense secret."""
+    if "swk_down" not in keys:
+        return _raise_to_full(ctx, ct)
+    drop = len(ct.moduli) - ctx.cd
+    c0 = rns.level_reduce(ct.c0, drop) if drop else ct.c0
+    c1 = rns.level_reduce(ct.c1, drop) if drop else ct.c1
+    d0, d1 = rlwe.key_switch(ctx.params, keys["swk_down"], c1)
+    low = Ciphertext(rns.add(c0, d0), d1, ct.scale)
+    raised = _raise_to_full(ctx, low)
+    u0, u1 = rlwe.key_switch(ctx.params, keys["swk_up"], raised.c1)
+    return Ciphertext(rns.add(raised.c0, u0), u1, raised.scale)
+
+
 def _conjugate_split(ctx: CkksContext, enc: Ciphertext, keys: dict
                      ) -> tuple[Ciphertext, Ciphertext]:
     """enc -> (real part * 2, imag part * 2) via conjugation;
@@ -328,7 +362,7 @@ def _eval_bootstrap_sparse(ctx: CkksContext, ct: Ciphertext,
     q0 = float(_q0(ctx))
     delta_in = ct.scale
 
-    raised = _raise_to_full(ctx, ct)
+    raised = _raise(ctx, ct, keys)
 
     # ---- PartialSum: project onto the subring Z[X^{N/(2s)}]; message
     # coefficients gain a factor d, overflow integers stay integers.
@@ -372,7 +406,7 @@ def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
     q0 = float(_q0(ctx))
     delta_in = ct.scale
 
-    raised = _raise_to_full(ctx, ct)
+    raised = _raise(ctx, ct, keys)
 
     # ---- CoeffsToSlots: M1 = E_lo^H / (N*K); mul_plain's level-scale
     # targeting absorbs the q0-vs-delta mismatch of the raised ciphertext,

@@ -205,6 +205,9 @@ def run_accumulator(params: TfheParams, key, test_vec: jax.Array,
     if ntt_impl == "fused" and isinstance(key, rgsw.BootstrapKey):
         from . import boot_pallas
         return boot_pallas.bootstrap_core_fused(params, key, test_vec, a)
+    if ntt_impl == "mega" and isinstance(key, rgsw.BootstrapKey):
+        from . import boot_pallas
+        return boot_pallas.bootstrap_core_mega(params, key, test_vec, a)
     B = test_vec.shape[0]
     acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
     acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl, mxu)[:, None, :]

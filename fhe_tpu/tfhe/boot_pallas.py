@@ -66,19 +66,20 @@ def bsk_to_br(params: TfheParams, bsk: jax.Array) -> jax.Array:
     return jnp.take(bsk, jnp.asarray(np.asarray(plan.br)), axis=-1)
 
 
-def _step_kernel(acc_ref, bsk_ref, ip_ref, ineg_ref,
-                 gtw_ref, gtws_ref, ftw_ref, ftws_ref, mono_ref,
-                 ninv_ref, out_ref, *, params: TfheParams):
+def _step_body(acc, bsk, ip, ineg, gtw_ref, gtws_ref, ftw_ref, ftws_ref,
+               mono_ref, ninv_ref, params: TfheParams):
+    """One CGGI accumulator update on VMEM-resident values.
+    acc [Bt, 2, N] BR eval; bsk indexable [sign, row] -> [2, N];
+    ip/ineg [Bt, 1].  Returns the updated accumulator."""
     N, Q = params.N, params.Q
     logN = N.bit_length() - 1
     qinv = u32(nttmod.make_plan(N, Q).qinv_neg)
-    Bt = acc_ref.shape[0]
+    Bt = acc.shape[0]
     dgt = params.digits_g
     dg2 = params.digits_g2
     bg = params.base_g
     g_bits = bg.bit_length() - 1
 
-    acc = acc_ref[:]                                  # [Bt, 2, N] BR eval
     pos2 = jax.lax.broadcasted_iota(jnp.uint32, (Bt * 2, N), 1)
 
     # ---- inverse NTT (consumes BR, produces natural COEFF) ----
@@ -124,10 +125,10 @@ def _step_kernel(acc_ref, bsk_ref, ip_ref, ineg_ref,
     # ---- external products (both signs) + monomial + update ----
     def ext(sign):
         accp = mont_mul(d_eval[:, 0, :][:, None, :],
-                        bsk_ref[sign, 0], Q, qinv)    # [Bt, 2, N]
+                        bsk[sign, 0], Q, qinv)        # [Bt, 2, N]
         for r in range(1, dg2):
             accp = add_mod(accp, mont_mul(d_eval[:, r, :][:, None, :],
-                                          bsk_ref[sign, r], Q, qinv), Q)
+                                          bsk[sign, r], Q, qinv), Q)
         return accp
 
     ep_pos = ext(0)
@@ -142,11 +143,19 @@ def _step_kernel(acc_ref, bsk_ref, ip_ref, ineg_ref,
             w = jnp.where(bit == 1, wm, w)
         return sub_mod(w, r1, Q)
 
-    mono_p = mono(ip_ref[:])[:, None, :]
-    mono_n = mono(ineg_ref[:])[:, None, :]
+    mono_p = mono(ip)[:, None, :]
+    mono_n = mono(ineg)[:, None, :]
     upd = add_mod(mont_mul(ep_pos, mono_p, Q, qinv),
                   mont_mul(ep_neg, mono_n, Q, qinv), Q)
-    out_ref[:] = add_mod(acc, upd, Q)
+    return add_mod(acc, upd, Q)
+
+
+def _step_kernel(acc_ref, bsk_ref, ip_ref, ineg_ref,
+                 gtw_ref, gtws_ref, ftw_ref, ftws_ref, mono_ref,
+                 ninv_ref, out_ref, *, params: TfheParams):
+    out_ref[:] = _step_body(acc_ref[:], bsk_ref, ip_ref[:], ineg_ref[:],
+                            gtw_ref, gtws_ref, ftw_ref, ftws_ref,
+                            mono_ref, ninv_ref, params)
 
 
 def _interpret() -> bool:
@@ -221,6 +230,116 @@ def blind_rotate_fused(params: TfheParams, bsk_br: jax.Array,
 
     acc, _ = jax.lax.scan(step, acc_br, (bsk_br, idx_pos.T, idx_neg.T))
     return acc[:B]
+
+
+def _mega_kernel(acc0_ref, bsk_ref, ip_ref, ineg_ref,
+                 gtw_ref, gtws_ref, ftw_ref, ftws_ref, mono_ref,
+                 ninv_ref, out_ref, *, params: TfheParams):
+    """Whole-scan kernel body: grid = (batch_tiles, n).  The accumulator
+    lives in the REVISITED output block -- it stays VMEM-resident for the
+    entire n-step scan of one batch tile (written back to HBM once), and
+    the per-step BSK block (indexed by the step axis) is double-buffered
+    HBM->VMEM by the Pallas grid pipeline, overlapping the key fetch with
+    compute (the reference's BSKBufferPool/async_pipeline.h:50-95 role)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = acc0_ref[:]
+
+    # index arrays are laid out [tiles, n, Bt, 1] so the (i, j) block IS
+    # this step's per-tile column -- no dynamic lane slicing (Mosaic
+    # requires 128-aligned dynamic indices on the lane axis)
+    out_ref[:] = _step_body(out_ref[:], bsk_ref[0], ip_ref[0, 0],
+                            ineg_ref[0, 0],
+                            gtw_ref, gtws_ref, ftw_ref, ftws_ref,
+                            mono_ref, ninv_ref, params)
+
+
+@functools.lru_cache(maxsize=None)
+def _mega_call(params: TfheParams, Bt: int, n: int):
+    N = params.N
+    dg2 = params.digits_g2
+    logm = (2 * N).bit_length() - 1
+    logN = N.bit_length() - 1
+    kern = functools.partial(_mega_kernel, params=params)
+    ms = pltpu.ANY if _interpret() else pltpu.VMEM
+
+    def call(acc, bsk_br, ip, ineg, tabs):
+        f_tw, f_tws, g_tw, g_tws, mono, ninv = tabs
+        B = acc.shape[0]
+        grid = (B // Bt, n)
+        specs = [
+            pl.BlockSpec((Bt, 2, N), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, 2, dg2, 2, N), lambda i, j: (j, 0, 0, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, 1, Bt, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, 1, Bt, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((logN, N), lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec((logN, N), lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec((logN, N), lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec((logN, N), lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec((logm, N), lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=ms),
+        ]
+        params_c = None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec((Bt, 2, N), lambda i, j: (i, 0, 0),
+                                   memory_space=ms),
+            out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.uint32),
+            compiler_params=params_c,
+            interpret=_interpret(),
+        )(acc, bsk_br, ip, ineg, g_tw, g_tws, f_tw, f_tws, mono, ninv)
+    return call
+
+
+def blind_rotate_mega(params: TfheParams, bsk_br: jax.Array,
+                      acc_br: jax.Array, a: jax.Array,
+                      tile: int = 32) -> jax.Array:
+    """Whole-scan fused CGGI accumulation: ONE pallas_call runs all n
+    accumulator steps with the accumulator VMEM-resident and the BSK
+    streamed.  acc/bsk in BR evaluation order."""
+    N, q = params.N, params.q
+    n = bsk_br.shape[0]
+    m_by = (2 * N) // q
+    idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by)) & u32(2 * N - 1)
+    idx_neg = (u32(2 * N) - idx_pos) & u32(2 * N - 1)
+    B = acc_br.shape[0]
+    Bt = min(tile, -(-B // 8) * 8)
+    Bp = -(-B // Bt) * Bt
+    if Bp != B:
+        acc_br = jnp.pad(acc_br, ((0, Bp - B), (0, 0), (0, 0)))
+        idx_pos = jnp.pad(idx_pos, ((0, Bp - B), (0, 0)))
+        idx_neg = jnp.pad(idx_neg, ((0, Bp - B), (0, 0)))
+    tabs = _fused_tables(N, params.Q,
+                         nttmod.make_plan(N, params.Q).qinv_neg)
+    TI = Bp // Bt
+    ip4 = idx_pos.reshape(TI, Bt, n).transpose(0, 2, 1)[..., None]
+    in4 = idx_neg.reshape(TI, Bt, n).transpose(0, 2, 1)[..., None]
+    call = _mega_call(params, Bt, n)
+    out = call(acc_br, bsk_br, ip4, in4, tabs)
+    return out[:B]
+
+
+def bootstrap_core_mega(params: TfheParams, key: rgsw.BootstrapKey,
+                        test_vec: jax.Array, a: jax.Array) -> jax.Array:
+    """Drop-in for boot.bootstrap_core with impl='mega'."""
+    plan = nttmod.make_plan(params.N, params.Q)
+    B = test_vec.shape[0]
+    acc1 = ntp.forward_pallas(plan, test_vec, out_br=True)[:, None, :]
+    acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
+    acc_br = jnp.concatenate([acc0, acc1], axis=1)
+    bsk_br = bsk_to_br(params, key.bsk)
+    rot = blind_rotate_mega(params, bsk_br, acc_br, a)
+    br = jnp.asarray(np.asarray(plan.br))
+    return jnp.take(rot, br, axis=-1)
 
 
 def bootstrap_core_fused(params: TfheParams, key: rgsw.BootstrapKey,

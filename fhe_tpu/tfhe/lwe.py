@@ -201,15 +201,21 @@ def key_switch_gen(params: TfheParams, sk: LweSecretKey, sk_n: LweSecretKey,
 
 
 def key_switch(params: TfheParams, ksk: LweSwitchingKey,
-               ct: LweCiphertext, impl: str = "gather") -> LweCiphertext:
+               ct: LweCiphertext, impl: str | None = None) -> LweCiphertext:
     """Dim N -> dim n at modulus qKS: (a', b') = (0, b) - sum_{i,k}
     KSK[i, k, digit_{i,k}(a_i)] (lwe-pke.cpp KeySwitch).
 
-    impl="gather": dynamic-gather the selected rows (exact, any batch).
-    impl="onehot": one-hot int8 MXU matmul (throughput path; qKS must be a
-    power of two so uint32 wrap-around is exact)."""
+    impl="gather": dynamic-gather the selected rows (exact, any batch,
+    but materializes [B, N*dc, n] -- ~25 GB at B=4096/STD128).
+    impl="onehot": one-hot int8 MXU matmul (throughput path; any qKS --
+    the plane recombination reduces mod q explicitly).
+    impl=None: onehot for batches >= 8 (MXU-saturating and memory-lean),
+    gather for small/latency calls."""
     q = params.q_ks
     assert ct.modulus == q
+    if impl is None:
+        B_auto = int(np.prod(ct.batch_shape)) if ct.batch_shape else 1
+        impl = "onehot" if B_auto >= 8 else "gather"
     bks, dc = params.base_ks, params.digits_ks
     N = ct.a.shape[-1]
     n = ksk.a.shape[-1]
