@@ -14,6 +14,7 @@ import dataclasses
 import functools
 
 from ..math import primes
+from ..lattice import stdparams
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,7 +86,8 @@ def _alternating_primes(center_bits: int, count: int, two_n: int,
 def make_ckks_params(N: int = 1 << 13, num_levels: int = 8,
                      scale_bits: int = 28, first_bits: int = 30,
                      dnum: int = 3, num_special: int | None = None,
-                     composite_degree: int = 1) -> PkeParams:
+                     composite_degree: int = 1,
+                     security: str = "not_set") -> PkeParams:
     """CKKS chain: q0 ~ 2^first_bits, q1..qL ~ 2^scale_bits (each = 1 mod
     2N so the negacyclic NTT exists), P of ~30-bit primes with |P| >=
     max part size (keyswitch-hybrid noise requirement).
@@ -114,6 +116,7 @@ def make_ckks_params(N: int = 1 << 13, num_levels: int = 8,
         if p not in used:
             sp.append(p)
         q = p - 1
+    stdparams.validate(moduli, N, security, "ternary", tuple(sp))
     return PkeParams(scheme="CKKS", N=N, moduli=moduli,
                      special_mods=tuple(sp), num_part_q=dnum,
                      scale_bits=scale_bits, composite_degree=cd)
@@ -122,7 +125,8 @@ def make_ckks_params(N: int = 1 << 13, num_levels: int = 8,
 @functools.lru_cache(maxsize=None)
 def make_bgv_params(N: int = 1 << 13, num_levels: int = 4,
                     plain_mod: int = 65537, mod_bits: int = 28,
-                    dnum: int = 3) -> PkeParams:
+                    dnum: int = 3,
+                    security: str = "not_set") -> PkeParams:
     """BGV chain: q_i = 1 mod 2N; the qL^-1 plaintext factor introduced by
     modulus reduction is tracked per-ciphertext (pt_scale) and removed at
     decryption, like the reference's FLEXIBLEAUTO BGV scaling."""
@@ -142,6 +146,7 @@ def make_bgv_params(N: int = 1 << 13, num_levels: int = 4,
         if p not in mods and p % plain_mod != 0:
             sp.append(p)
         q = p - 1
+    stdparams.validate(mods, N, security, "ternary", tuple(sp))
     return PkeParams(scheme="BGV", N=N, moduli=tuple(mods),
                      special_mods=tuple(sp), num_part_q=dnum,
                      scale_bits=0, plain_mod=plain_mod)
@@ -150,7 +155,8 @@ def make_bgv_params(N: int = 1 << 13, num_levels: int = 4,
 @functools.lru_cache(maxsize=None)
 def make_bfv_params(N: int = 1 << 13, num_limbs: int = 4,
                     plain_mod: int = 65537, mod_bits: int = 28,
-                    dnum: int = 2) -> PkeParams:
+                    dnum: int = 2,
+                    security: str = "not_set") -> PkeParams:
     two_n = 2 * N
     mods = []
     q = (1 << mod_bits) - 1
@@ -166,6 +172,7 @@ def make_bfv_params(N: int = 1 << 13, num_limbs: int = 4,
         if p not in mods:
             sp.append(p)
         q = p - 1
+    stdparams.validate(mods, N, security, "ternary", tuple(sp))
     return PkeParams(scheme="BFV", N=N, moduli=tuple(mods),
                      special_mods=tuple(sp), num_part_q=dnum,
                      scale_bits=0, plain_mod=plain_mod)

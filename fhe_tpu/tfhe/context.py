@@ -64,6 +64,28 @@ class BinFheContext:
         rg, auto = accmod.lmkcdey_key_gen(self.params, sk, sk_n, rng)
         return accmod.LmkcdeyKey(rgsw=rg, auto=auto, ksk=ksk)
 
+    def key_gen_pair(self, rng: np.random.Generator | int = 0):
+        """KeyGenPair (binfhecontext.h:182-196): (sk_n, sk_N, pk) with the
+        public key over the ring dimension N."""
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        sk = lwe.keygen(self.params, rng)
+        sk_n = lwe.keygen(self.params, rng, dim=self.params.N)
+        pk = lwe.pub_key_gen(self.params, sk_n, rng)
+        return sk, sk_n, pk
+
+    def encrypt_pk(self, pk: lwe.LwePublicKey, m,
+                   rng: np.random.Generator | int = 0, p: int = 4,
+                   ksk: lwe.LweSwitchingKey | None = None
+                   ) -> lwe.LweCiphertext:
+        """Public-key encryption (Encrypt with LWEPublicKey,
+        binfhecontext.h:215): dimension-N ciphertexts at modulus Q; pass
+        the bootstrap key's ksk to switch down to (n, q) for gates."""
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        ct = lwe.encrypt_pk(self.params, pk, m, rng, p)
+        if ksk is not None:
+            ct = lwe.switch_ct_to_qn(self.params, ksk, ct)
+        return ct
+
     # -- encryption ---------------------------------------------------------
     def encrypt(self, sk: lwe.LweSecretKey, m,
                 rng: np.random.Generator | int = 0, p: int = 4,

@@ -106,6 +106,55 @@ def encrypt(params: TfheParams, sk: LweSecretKey, m, rng: np.random.Generator,
     return LweCiphertext(a=a, b=b, modulus=q, pt_mod=p)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LwePublicKey:
+    """LWE public key over the ring dimension N (lwe-pke.cpp PubKeyGen
+    :74-99): A [N, N] uniform, v = A s + e (both mod Q)."""
+    A: jax.Array   # [N, N] uint32
+    v: jax.Array   # [N] uint32
+    modulus: int = dataclasses.field(metadata=dict(static=True))
+
+
+def pub_key_gen(params: TfheParams, sk_n: LweSecretKey,
+                rng: np.random.Generator) -> LwePublicKey:
+    """PubKeyGen: v_j = <A[j], s> + e_j mod Q (host numpy, exact)."""
+    Q = params.Q
+    if Q > (1 << 32):
+        raise NotImplementedError("public-key mode needs Q < 2^32 "
+                                  "(use a non-RNS paramset)")
+    N = int(sk_n.s.shape[0])
+    A = rng.integers(0, Q, size=(N, N), dtype=np.int64)
+    s = np.asarray(sk_n.s, dtype=np.int64)
+    e = _sample_error(rng, N, params.std_dev)
+    # ternary/Gaussian s is tiny: |A @ s| < N*Q*|s|_max < 2^63, int64-exact
+    v = (A @ s + e) % Q
+    return LwePublicKey(A=jnp.asarray(A.astype(np.uint32)),
+                        v=jnp.asarray(v.astype(np.uint32)), modulus=Q)
+
+
+def encrypt_pk(params: TfheParams, pk: LwePublicKey, m,
+               rng: np.random.Generator, p: int = 4) -> LweCiphertext:
+    """Public-key encryption (lwe-pke.cpp EncryptN :133-168): ternary
+    combiner sp; a = A^t sp + e_a, b = m*(Q/p) + e_b + <v, sp>.
+    Produces dimension-N ciphertexts at modulus Q; switch_ct_to_qn
+    brings them to (n, q) for gate evaluation."""
+    Q = pk.modulus
+    m = np.asarray(m, dtype=np.int64)
+    A = np.asarray(pk.A, dtype=np.int64)
+    v = np.asarray(pk.v, dtype=np.int64)
+    N = A.shape[0]
+    sp = rng.integers(-1, 2, size=m.shape + (N,), dtype=np.int64)
+    e_a = _sample_error(rng, m.shape + (N,), params.std_dev)
+    e_b = _sample_error(rng, m.shape, params.std_dev)
+    # sp is ternary: A^t sp sums signed rows, |.| < N*Q < 2^63
+    a = (sp @ A + e_a) % Q
+    b = ((m % p) * (Q // p) + e_b + sp @ v) % Q
+    return LweCiphertext(a=jnp.asarray(a.astype(np.uint32)),
+                         b=jnp.asarray(b.astype(np.uint32)),
+                         modulus=Q, pt_mod=p)
+
+
 def mul_mod_vec(a: jax.Array, s, q: int) -> jax.Array:
     """a * s mod q elementwise for uint32 inputs in [0, q).
 

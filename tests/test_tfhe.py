@@ -197,3 +197,25 @@ def test_gate_chain(toy, rng):
         x = ctx.eval_bin_gate(key, Gate.NAND, x, ct_b)
         want_x = 1 - (want_x & b)
     np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, x, p=4)), want_x)
+
+
+def test_public_key_mode(toy, rng):
+    """PKE mode (UnitTestFHEWPKE analogue; lwe-pke.cpp PubKeyGen :74 /
+    EncryptN :133): pk encrypt -> decrypt under sk_N, then switch to
+    (n, q) and run a gate against an sk-encrypted input."""
+    ctx, sk, sk_n, key = toy
+    pk = lwe.pub_key_gen(ctx.params, sk_n, rng)
+    m = rng.integers(0, 4, size=16)
+    ct_big = ctx.encrypt_pk(pk, m, rng)
+    assert ct_big.n == ctx.params.N and ct_big.modulus == ctx.params.Q
+    got = np.asarray(lwe.decrypt(ctx.params, sk_n, ct_big))
+    np.testing.assert_array_equal(got, m)
+
+    # switch to the gate domain and evaluate AND with a secret-key ct
+    bits = rng.integers(0, 2, size=16)
+    ct_pk = ctx.encrypt_pk(pk, bits, rng, ksk=key.ksk)
+    other = rng.integers(0, 2, size=16)
+    ct_sk = ctx.encrypt(sk, other, rng)
+    out = ctx.eval_bin_gate(key, Gate.AND, ct_pk, ct_sk)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out)),
+                                  bits & other)
