@@ -28,7 +28,7 @@ BASELINE_GATES_PER_SEC = 100.0  # reference: ~10 ms/gate, EPYC 7763 1T
 def main():
     on_tpu = jax.default_backend() == "tpu"
     param_set = os.environ.get("FHE_BENCH_PARAMS", "STD128")
-    batch = int(os.environ.get("FHE_BENCH_BATCH", "1024" if on_tpu else "8"))
+    batch = int(os.environ.get("FHE_BENCH_BATCH", "2048" if on_tpu else "8"))
     iters = int(os.environ.get("FHE_BENCH_ITERS", "3" if on_tpu else "1"))
 
     ctx = BinFheContext.generate(param_set)
