@@ -326,19 +326,25 @@ def eval_bootstrap_iterative(ctx: CkksContext, ct: Ciphertext,
                              precision_bits: int = 10) -> Ciphertext:
     """Two-iteration (META-BTS) bootstrap (ckksrns-fhe.cpp EvalBootstrap
     numIterations=2 path :427-474): bootstrap once, measure the
-    bootstrapping error at 2^p amplification, bootstrap the error, and
-    subtract -- squaring the precision at the cost of a second bootstrap.
-
-    Float-exact scale bookkeeping replaces the reference's power-of-two
-    modulus juggling: amplification by 2^p is a scale relabel."""
+    bootstrapping error PHYSICALLY amplified by 2^p (integer multiply --
+    the reference's MultByIntegerInPlace/AdjustCiphertext machinery),
+    bootstrap the error, and subtract.  The amplification must be
+    physical: the bootstrap's own error is a fixed fraction of q0, so
+    only values made 2^p LARGER relative to q0 see that error shrink
+    2^p-fold after the final divide-by-2^p relabel.  (A scale relabel
+    alone leaves the torus values unchanged and gains nothing -- found
+    empirically: e2 ~= e1 under relabel-only amplification.)"""
     from .advanced import adjust_to, add_aligned
     p2 = float(1 << precision_bits)
     b1 = eval_bootstrap(ctx, ct, precom, keys)
     # bring the first bootstrap down to the input basis at the input scale
     b1_low = adjust_to(ctx, b1, ct.moduli, ct.scale)
-    # error ciphertext: (b1 - ct) amplified by 2^p via scale relabel
-    err = Ciphertext(rns.sub(b1_low.c0, ct.c0), rns.sub(b1_low.c1, ct.c1),
-                     ct.scale / p2)
+    # error ciphertext: (b1 - ct) * 2^p (physical integer multiply; the
+    # error is tiny, so the amplified values stay far below q0)
+    amp = 1 << precision_bits
+    err = Ciphertext(rns.mul_scalar(rns.sub(b1_low.c0, ct.c0), amp),
+                     rns.mul_scalar(rns.sub(b1_low.c1, ct.c1), amp),
+                     ct.scale)
     b2 = eval_bootstrap(ctx, err, precom, keys)
     # subtract the re-scaled error estimate: b2 holds e1*2^p
     b2_scaled = Ciphertext(b2.c0, b2.c1, b2.scale * p2)

@@ -105,8 +105,17 @@ def test_sparse_encapsulated_bootstrap():
 @pytest.mark.slow
 def test_iterative_bootstrap_improves_precision(boot_setup):
     """META-BTS: the 2-iteration bootstrap beats single-iteration
-    precision (ckksrns-fhe.cpp numIterations=2)."""
-    ctx, sk, pk, pre, keys, rng = boot_setup
+    precision (ckksrns-fhe.cpp numIterations=2).
+
+    Uses a COARSE sine fit (tol=1e-4) for the baseline: with the default
+    tol=1e-9 a single bootstrap already sits at the ~1.6e-6 key-noise
+    floor at these test parameters, so no relative improvement is
+    measurable (this test as originally committed had never passed --
+    verified also failing at the commit that introduced it).  The
+    rotation-key set is tol-independent, so the fixture keys are
+    reused."""
+    ctx, sk, pk, _pre, keys, rng = boot_setup
+    pre = bootstrap.setup(ctx, h=H, tol=1e-4)
     z = rng.uniform(-0.4, 0.4, size=SLOTS)
     ct = ctx.encrypt(pk, z, rng)
     drop = len(ct.moduli) - ctx.cd
@@ -117,5 +126,6 @@ def test_iterative_bootstrap_improves_precision(boot_setup):
                                              precision_bits=8)
     e1 = np.abs(ctx.decrypt(sk, one).real - z).max()
     e2 = np.abs(ctx.decrypt(sk, two).real - z).max()
+    assert e1 > 5e-6          # the coarse baseline is above the floor
     assert e2 < e1 / 4        # expect ~2^8 in theory; demand >= 4x
     assert len(two.moduli) >= 2 * ctx.cd
