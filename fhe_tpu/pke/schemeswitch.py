@@ -211,9 +211,20 @@ def eval_fhew_to_ckks(ctx: CkksContext, key: FhewToCkksKey,
     if pmin != 0.0:
         post_scale *= (pmax - pmin) / 4.0
         post_bias = (pmax - pmin) / 4.0
-    out = ctx.mul_plain(y, np.full(slots, post_scale))
+    # zero-fill beyond the B decoded values (the reference's post-scale
+    # plaintext has length numValues, :1671-1675) so junk slots vanish --
+    # required by the min/max tournament masks
+    sc = np.zeros(slots)
+    sc[:B] = post_scale
+    # rescale so the result lands ON the level-target scale: without it
+    # the ~2^52 product scale poisons every downstream mul_plain (its
+    # targeted plaintext scale drops below 1 and the encode quantizes
+    # the plaintext to zero -- found via the min/max tournament)
+    out = ctx.rescale(ctx.mul_plain(y, sc))
     if post_bias:
-        out = ctx.add_plain(out, np.full(slots, post_bias))
+        bias = np.zeros(slots)
+        bias[:B] = post_bias
+        out = ctx.add_plain(out, bias)
     return out
 
 
@@ -235,6 +246,101 @@ def eval_sign_scheme_switching(ctx: CkksContext, key: CkksToFhewKey,
                                 fhew_params=tfhe_ctx.params,
                                 keep_large_modulus=True)
     return tfhe_ctx.eval_sign(tfhe_key, lwe_cts)
+
+
+def _tournament_select(ctx: CkksContext, key: CkksToFhewKey,
+                       k2: FhewToCkksKey, ct: Ciphertext, tfhe_ctx,
+                       tfhe_key, evk: rlwe.EvalKey,
+                       rot_keys: dict, num_values: int, p: int,
+                       want_min: bool) -> tuple[Ciphertext, Ciphertext]:
+    """Shared EvalMin/MaxSchemeSwitching body (reference
+    ckksrns-schemeswitching.cpp:1930-2014 / :2094+): log2(numValues)
+    rounds of [compare first half vs rotated second half -> FHEW sign
+    bootstrap -> selector back in CKKS -> masked select], tracking a
+    one-hot argmin/argmax indicator alongside."""
+    from .advanced import mul_aligned, add_aligned
+    slots = ctx.params.N // 2
+    n_ind = np.zeros(slots)
+    n_ind[:num_values] = 1.0
+    c_ind = None                      # becomes a ciphertext on first mult
+    h = num_values // 2
+    while h >= 1:
+        rot_b = ctx.rotate(ct, h, rot_keys)
+        diff = ctx.sub(ct, rot_b)
+        lwe_cts = eval_ckks_to_fhew(ctx, key, diff, p=p, num_values=h,
+                                    fhew_params=tfhe_ctx.params,
+                                    keep_large_modulus=True)
+        # scheme_switch=True encodes the sign at +-q/4 (reference
+        # EvalSign(ct, true)), decoded by the (p=4, pmin=-1, pmax=1)
+        # affine sine map to a clean {0,1} selector:
+        # 1 in slot j iff ct_j < ct_{j+h} (junk slots zeroed)
+        lwe_sign = tfhe_ctx.eval_sign(tfhe_key, lwe_cts,
+                                      scheme_switch=True)
+        csel = eval_fhew_to_ckks(ctx, k2, lwe_sign, evk, p=4,
+                                 pmin=-1.0, pmax=1.0)
+        if not want_min:
+            ones_h = np.zeros(slots)
+            ones_h[:h] = 1.0
+            csel = ctx.add_plain(
+                Ciphertext(rns.neg(csel.c0), rns.neg(csel.c1), csel.scale),
+                ones_h)               # 1 - c: keep the LARGER first value
+        # mask = [keep-first ; keep-second] over 2h slots, 0 elsewhere
+        ones_h = np.zeros(slots)
+        ones_h[:h] = 1.0
+        inv = ctx.add_plain(
+            Ciphertext(rns.neg(csel.c0), rns.neg(csel.c1), csel.scale),
+            ones_h)
+        mask = ctx.add(csel, ctx.rotate(inv, -h, rot_keys))
+        # replicate the 2h-pattern across all numValues lanes
+        j = 2 * h
+        while j < num_values:
+            mask = ctx.add(mask, ctx.rotate(mask, -j, rot_keys))
+            j <<= 1
+        ct = mul_aligned(ctx, ct, mask, evk)       # rescales internally
+        ct = ctx.add(ct, ctx.rotate(ct, h, rot_keys))
+        if c_ind is None:
+            c_ind = ctx.rescale(ctx.mul_plain(mask, n_ind))
+        else:
+            c_ind = mul_aligned(ctx, c_ind, mask, evk)
+        h //= 2
+    return ct, c_ind
+
+
+def eval_min_scheme_switching(ctx: CkksContext, key: CkksToFhewKey,
+                              k2: FhewToCkksKey, ct: Ciphertext,
+                              tfhe_ctx, tfhe_key, evk: rlwe.EvalKey,
+                              rot_keys: dict, num_values: int,
+                              p: int = 8) -> tuple[Ciphertext, Ciphertext]:
+    """EvalMinSchemeSwitching: returns (min ciphertext -- slot 0 holds
+    min(ct[0:numValues]) -- , one-hot argmin indicator).  numValues must
+    be a power of two; rot_keys needs indices {+-h, -2h...} for
+    h = numValues/2, ..., 1."""
+    return _tournament_select(ctx, key, k2, ct, tfhe_ctx, tfhe_key, evk,
+                              rot_keys, num_values, p, want_min=True)
+
+
+def eval_max_scheme_switching(ctx: CkksContext, key: CkksToFhewKey,
+                              k2: FhewToCkksKey, ct: Ciphertext,
+                              tfhe_ctx, tfhe_key, evk: rlwe.EvalKey,
+                              rot_keys: dict, num_values: int,
+                              p: int = 8) -> tuple[Ciphertext, Ciphertext]:
+    """EvalMaxSchemeSwitching (:2094): the max-variant tournament."""
+    return _tournament_select(ctx, key, k2, ct, tfhe_ctx, tfhe_key, evk,
+                              rot_keys, num_values, p, want_min=False)
+
+
+def min_max_rotation_indices(num_values: int) -> list[int]:
+    """Rotation-key indices the tournament needs."""
+    idx = set()
+    h = num_values // 2
+    while h >= 1:
+        idx.update([h, -h])
+        j = 2 * h
+        while j < num_values:
+            idx.add(-j)
+            j <<= 1
+        h //= 2
+    return sorted(idx)
 
 
 def eval_compare_scheme_switching(ctx: CkksContext, key: CkksToFhewKey,
