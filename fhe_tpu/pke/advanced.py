@@ -140,6 +140,124 @@ def eval_linear_wsum(ctx: CkksContext, cts: list[Ciphertext],
     return ctx.rescale(acc)
 
 
+def sum_rows_key_gen(ctx: CkksContext, sk, rng, row_size: int,
+                     slots: int | None = None) -> dict:
+    """Rotation keys for EvalSumRows (EvalSumRowsKeyGen,
+    base-advancedshe.cpp:193): indices row_size * 2^j."""
+    s = slots or ctx.params.N // 2
+    rots = []
+    r = row_size
+    while r < s:
+        rots.append(r)
+        r <<= 1
+    return ctx.rotation_key_gen(sk, rots, rng)
+
+
+def eval_sum_rows(ctx: CkksContext, ct: Ciphertext, row_size: int,
+                  rot_keys: dict, slots: int | None = None) -> Ciphertext:
+    """Sum the rows of a row-major [numRows, row_size] slot matrix; every
+    row of the result holds the column sums (EvalSumRows,
+    base-advancedshe.cpp:284 / EvalSum2nComplexRows)."""
+    s = slots or ctx.params.N // 2
+    out = ct
+    r = row_size
+    while r < s:
+        out = ctx.add(out, ctx.rotate(out, r, rot_keys))
+        r <<= 1
+    return out
+
+
+def sum_cols_key_gen(ctx: CkksContext, sk, rng, num_cols: int) -> dict:
+    """Keys for EvalSumCols (EvalSumColsKeyGen: EvalSum indices merged
+    with the negative spread rotations)."""
+    rots = [1 << i for i in range(max(1, int(np.log2(num_cols))))]
+    rots += [-(1 << i) for i in range(max(1, int(np.log2(num_cols))))]
+    return ctx.rotation_key_gen(sk, sorted(set(rots)), rng)
+
+
+def eval_sum_cols(ctx: CkksContext, ct: Ciphertext, num_cols: int,
+                  rot_keys: dict) -> Ciphertext:
+    """Sum each row of a row-major slot matrix with row length num_cols;
+    the row sum is replicated across the row (EvalSumCols,
+    base-advancedshe.cpp:304: EvalSum over the row + col-0 mask +
+    negative-rotation spread)."""
+    assert num_cols & (num_cols - 1) == 0
+    slots = ctx.params.N // 2
+    out = eval_sum(ctx, ct, num_cols, rot_keys)
+    mask = np.zeros(slots)
+    mask[::num_cols] = 1.0
+    out = ctx.rescale(ctx.mul_plain(out, mask))
+    r = 1
+    while r < num_cols:
+        out = ctx.add(out, ctx.rotate(out, -r, rot_keys))
+        r <<= 1
+    return out
+
+
+def merge_key_gen(ctx: CkksContext, sk, rng, count: int) -> dict:
+    """Negative rotation keys -1..-(count-1) for EvalMerge."""
+    return ctx.rotation_key_gen(sk, [-i for i in range(1, count)], rng)
+
+
+def eval_merge(ctx: CkksContext, cts: list[Ciphertext],
+               rot_keys: dict) -> Ciphertext:
+    """Merge slot 0 of each ciphertext into one ciphertext: out_i =
+    cts[i][0] (EvalMerge, base-advancedshe.cpp:382 -- mask to slot 0,
+    rotate to position, add)."""
+    slots = ctx.params.N // 2
+    mask = np.zeros(slots)
+    mask[0] = 1.0
+    out = ctx.rescale(ctx.mul_plain(cts[0], mask))
+    for i in range(1, len(cts)):
+        t = ctx.rescale(ctx.mul_plain(cts[i], mask))
+        out = add_aligned(ctx, out, ctx.rotate(t, -i, rot_keys))
+    return out
+
+
+def eval_add_many(ctx: CkksContext, cts: list[Ciphertext]) -> Ciphertext:
+    """Binary-tree sum (EvalAddMany, cryptocontext.h)."""
+    lvl = list(cts)
+    while len(lvl) > 1:
+        nxt = [add_aligned(ctx, lvl[i], lvl[i + 1])
+               for i in range(0, len(lvl) - 1, 2)]
+        if len(lvl) % 2:
+            nxt.append(lvl[-1])
+        lvl = nxt
+    return lvl[0]
+
+
+def eval_mult_many(ctx: CkksContext, cts: list[Ciphertext],
+                   evk: rlwe.EvalKey) -> Ciphertext:
+    """Binary-tree product, depth log2(n) (EvalMultMany)."""
+    lvl = list(cts)
+    while len(lvl) > 1:
+        nxt = [mul_aligned(ctx, lvl[i], lvl[i + 1], evk)
+               for i in range(0, len(lvl) - 1, 2)]
+        if len(lvl) % 2:
+            nxt.append(lvl[-1])
+        lvl = nxt
+    return lvl[0]
+
+
+def eval_negate(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
+    """EvalNegate."""
+    return Ciphertext(rns.neg(ct.c0), rns.neg(ct.c1), ct.scale)
+
+
+def compress(ctx: CkksContext, ct: Ciphertext,
+             towers_left: int = 1) -> Ciphertext:
+    """Compress (cryptocontext.h / rns-leveledshe Compress): drop to the
+    smallest basis (value-preserving LevelReduce) before transmission or
+    decryption -- ciphertext shrinks to towers_left blocks."""
+    cd = ctx.cd
+    target = towers_left * cd
+    drop = len(ct.moduli) - target
+    if drop <= 0:
+        return ct
+    return Ciphertext(rns.level_reduce(ct.c0, drop),
+                      rns.level_reduce(ct.c1, drop), ct.scale)
+
+
 # ---------------------------------------------------------------------------
 # polynomial evaluation
 # ---------------------------------------------------------------------------
@@ -173,8 +291,11 @@ def eval_chebyshev_series(ctx: CkksContext, ct: Ciphertext, coeffs,
                           evk: rlwe.EvalKey) -> Ciphertext:
     """sum_k c_k T_k(y), y = (2x - a - b)/(b - a) (EvalChebyshevSeries,
     linear three-term recurrence T_{k+1} = 2 y T_k - T_{k-1}; the
-    Paterson-Stockmeyer variant is planned for large degrees)."""
-    coeffs = [float(c) for c in coeffs]
+    Paterson-Stockmeyer variant is planned for large degrees).
+
+    Coefficients may be complex (CKKS slots are complex): used by the
+    functional-bootstrap exp(2*pi*i*x) stage (fbt.py)."""
+    coeffs = [complex(c) for c in coeffs]
     slots = ctx.params.N // 2
     if (a, b) == (-1.0, 1.0):
         y = ct          # domain already normalized; save one level
@@ -236,8 +357,9 @@ def eval_chebyshev_series_ps(ctx: CkksContext, ct: Ciphertext, coeffs,
     ckksrns-advancedshe.cpp): depth ~ log2(deg) instead of deg.
 
     Precomputes baby steps T_1..T_k and giant steps T_{2^j k}, then
-    recursively splits f = q*T_g + r."""
-    coeffs = [float(c) for c in coeffs]
+    recursively splits f = q*T_g + r.  Coefficients may be complex
+    (fbt.py exp stage)."""
+    coeffs = [complex(c) for c in coeffs]
     while len(coeffs) > 1 and abs(coeffs[-1]) < 1e-14:
         coeffs.pop()
     deg = len(coeffs) - 1
@@ -332,3 +454,40 @@ def eval_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
         term = ctx.mul_plain(rct, diag)
         acc = term if acc is None else ctx.add(acc, term)
     return ctx.rescale(acc)
+
+
+# ---------------------------------------------------------------------------
+# function evaluation conveniences (cryptocontext.cpp:497-525)
+# ---------------------------------------------------------------------------
+
+def eval_chebyshev_function(ctx: CkksContext, func, ct: Ciphertext,
+                            a: float, b: float, degree: int,
+                            evk: rlwe.EvalKey) -> Ciphertext:
+    """EvalChebyshevFunction: fit func on [a,b] at Chebyshev nodes of the
+    given degree, then evaluate the series (Paterson-Stockmeyer)."""
+    from ..math.approx import chebyshev_coefficients
+    coeffs = chebyshev_coefficients(func, a, b, degree)
+    return eval_chebyshev_series_ps(ctx, ct, coeffs, a, b, evk)
+
+
+def eval_sin(ctx, ct, a, b, degree, evk):
+    """EvalSin (cryptocontext.cpp:505)."""
+    return eval_chebyshev_function(ctx, np.sin, ct, a, b, degree, evk)
+
+
+def eval_cos(ctx, ct, a, b, degree, evk):
+    """EvalCos (cryptocontext.cpp:511)."""
+    return eval_chebyshev_function(ctx, np.cos, ct, a, b, degree, evk)
+
+
+def eval_logistic(ctx, ct, a, b, degree, evk):
+    """EvalLogistic: 1/(1+exp(-x)) (cryptocontext.cpp:517)."""
+    return eval_chebyshev_function(ctx, lambda x: 1.0 / (1.0 + np.exp(-x)),
+                                   ct, a, b, degree, evk)
+
+
+def eval_divide(ctx, ct, a, b, degree, evk):
+    """EvalDivide: 1/x on [a,b], 0 < a < b or a < b < 0
+    (cryptocontext.cpp:523)."""
+    return eval_chebyshev_function(ctx, lambda x: 1.0 / x, ct, a, b,
+                                   degree, evk)

@@ -176,11 +176,15 @@ def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
     (EvalLinearTransform / EvalCoeffsToSlots with level budget 1):
     y = sum_j rot_{jg}( sum_i rot_{-jg}(diag_{jg+i}) * rot_i(x) ).
     Plaintext diagonals ride mul_plain's level-scale targeting; the
-    result is rescaled once and lands on the level target scale."""
+    result is rescaled once and lands on the level target scale.
+    Baby rotations share ONE hoisted digit decomposition
+    (EvalFastRotationPrecompute -- the reference's hoisting,
+    keyswitch-hybrid.cpp EvalKeySwitchPrecomputeCore)."""
     n = M.shape[0]
     b = -(-n // g)
     idx = np.arange(n)
-    # cache baby rotations
+    # cache baby rotations, hoisting the decompose+ModUp of ct once
+    hoist = ctx.fast_rotation_precompute(ct) if g > 1 else None
     babies = {0: ct}
     out = None
     for j in range(b):
@@ -193,7 +197,7 @@ def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
             if tol and np.max(np.abs(diag)) <= tol:
                 continue
             if i not in babies:
-                babies[i] = ctx.rotate(ct, i, rot_keys)
+                babies[i] = ctx.fast_rotation(ct, i, rot_keys, hoist)
             term = ctx.mul_plain(babies[i], np.roll(diag, j * g))
             inner = term if inner is None else ctx.add(inner, term)
         if inner is None:
@@ -221,6 +225,7 @@ def bsgs_rect_transform(ctx: CkksContext, ct: Ciphertext, A: np.ndarray,
     s = min(R, C)
     b = -(-s // g)
     kk = np.arange(L)
+    hoist = ctx.fast_rotation_precompute(ct) if g > 1 else None
     babies = {0: ct}
     out = None
     for j in range(b):
@@ -231,7 +236,7 @@ def bsgs_rect_transform(ctx: CkksContext, ct: Ciphertext, A: np.ndarray,
                 break
             diag = A[kk % R, (kk + idx) % C]
             if i not in babies:
-                babies[i] = ctx.rotate(ct, i, rot_keys)
+                babies[i] = ctx.fast_rotation(ct, i, rot_keys, hoist)
             term = ctx.mul_plain(babies[i], np.roll(diag, j * g), slots=L)
             inner = term if inner is None else ctx.add(inner, term)
         if inner is None:

@@ -331,6 +331,28 @@ class CkksContext:
         d0, d1 = rlwe.key_switch(self.params, rot_keys[r], c1)
         return Ciphertext(rns.add(c0, d0), d1, a.scale)
 
+    def fast_rotation_precompute(self, a: Ciphertext) -> list:
+        """EvalFastRotationPrecompute (cryptocontext.h / keyswitch-
+        hybrid.cpp EvalKeySwitchPrecomputeCore): hoist the digit
+        decomposition + ModUp of c1 once; every subsequent
+        fast_rotation of this ciphertext reuses it."""
+        return rlwe.key_switch_precompute(self.params, a.c1)
+
+    def fast_rotation(self, a: Ciphertext, r: int,
+                      rot_keys: dict[int, rlwe.EvalKey],
+                      precomp: list) -> Ciphertext:
+        """EvalFastRotation: automorphism applied to the hoisted EVAL
+        digits (pure evaluation-point permutation), then only the inner
+        products + ModDown run per rotation index."""
+        if r == 0:
+            return a
+        N = self.params.N
+        k = pow(5, r % (2 * N), 2 * N)
+        digs = [rns.automorphism(u, k) for u in precomp]
+        d0, d1 = rlwe.key_switch_apply(self.params, rot_keys[r], digs)
+        c0 = rns.automorphism(a.c0, k)
+        return Ciphertext(rns.add(c0, d0), d1, a.scale)
+
     def conjugate(self, a: Ciphertext, conj_key: rlwe.EvalKey) -> Ciphertext:
         N = self.params.N
         k = 2 * N - 1

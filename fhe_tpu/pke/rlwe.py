@@ -193,23 +193,21 @@ def evk_gen(params, s_old: RnsPoly, sk_new: SecretKey,
                    num_per_part=npp)
 
 
-def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
-    """Apply HYBRID key switch to poly c over (possibly truncated) basis
-    Q_l (KeySwitchCore/EvalFastKeySwitchCore).
-
-    Returns (d0, d1) over c's basis with d0 + d1*s_new = c*s_old + noise.
-    """
+def key_switch_precompute(params, c: RnsPoly) -> list[RnsPoly]:
+    """Rotation-independent half of the HYBRID key switch
+    (EvalKeySwitchPrecomputeCore, keyswitch-hybrid.cpp:328-380; the
+    hoisting behind EvalFastRotationPrecompute): digit decomposition
+    (RNS limb slicing) + ApproxModUp of each digit onto Q_l + P, returned
+    in EVAL format.  Automorphisms act on EVAL polys as pure evaluation-
+    point permutations, so one precompute serves every rotation index."""
     q_mods = c.moduli
     L = len(q_mods)
     p_mods = tuple(params.special_mods)
     ext_mods = q_mods + p_mods
-    npp = evk.num_per_part
+    npp = params.num_per_part
     n_digits = -(-L // npp)
-    full_q = tuple(params.moduli)
-
     c_coeff = rns.to_coeff(c)
-    d0 = None
-    d1 = None
+    ups = []
     for d in range(n_digits):
         lo, hi = d * npp, min((d + 1) * npp, L)
         part = RnsPoly(c_coeff.data[..., lo:hi, :], q_mods[lo:hi], COEFF)
@@ -217,7 +215,20 @@ def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
         up = rns.switch_crt_basis_approx(part, ext_mods)
         # overwrite the exact limbs we already have
         up_data = up.data.at[..., lo:hi, :].set(c_coeff.data[..., lo:hi, :])
-        up = rns.to_eval(RnsPoly(up_data, ext_mods, COEFF))
+        ups.append(rns.to_eval(RnsPoly(up_data, ext_mods, COEFF)))
+    return ups
+
+
+def key_switch_apply(params, evk: EvalKey, ups: list[RnsPoly]
+                     ) -> tuple[RnsPoly, RnsPoly]:
+    """Inner products with the switching key + ModDown
+    (EvalFastKeySwitchCore over precomputed digits)."""
+    ext_mods = ups[0].moduli
+    p_mods = tuple(params.special_mods)
+    q_mods = ext_mods[:len(ext_mods) - len(p_mods)]
+    d0 = None
+    d1 = None
+    for d, up in enumerate(ups):
         # select evk limbs matching Q_l + P from the full QP layout
         idx = [evk.moduli_qp.index(q) for q in ext_mods]
         bd = evk.b[d][jnp.asarray(idx), :]
@@ -233,3 +244,12 @@ def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
     r0 = rns.approx_mod_down(d0c, q_mods, p_mods, t)
     r1 = rns.approx_mod_down(d1c, q_mods, p_mods, t)
     return rns.to_eval(r0), rns.to_eval(r1)
+
+
+def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
+    """Apply HYBRID key switch to poly c over (possibly truncated) basis
+    Q_l (KeySwitchCore/EvalFastKeySwitchCore).
+
+    Returns (d0, d1) over c's basis with d0 + d1*s_new = c*s_old + noise.
+    """
+    return key_switch_apply(params, evk, key_switch_precompute(params, c))

@@ -64,16 +64,12 @@ def _mono_sq_tables(N: int, Q: int) -> np.ndarray:
     return out
 
 
-def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
-    """EVALUATION-format values of (X^idx - 1), Montgomery form.
-
-    idx: [B] uint32 in [0, 2N). Returns [B, N] uint32:
-    out[b, k] = (psi^((2k+1) * idx[b]) - 1) * R mod Q.
-
-    Computed by exponentiation-by-squaring over log2(2N) constant tables
-    (selected per idx bit) -- pure VPU work.  The equivalent [B, N]
-    gather from the psi-power table lowers to a slow path on TPU (~8x
-    slower measured); bit-identical results."""
+def _monomial_pow_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
+    """EVALUATION-format values of X^idx, Montgomery form:
+    w[b, k] = psi^((2k+1) * idx[b]) * R mod Q, by exponentiation-by-
+    squaring over log2(2N) constant tables (selected per idx bit) --
+    pure VPU work.  The equivalent [B, N] gather from the psi-power
+    table lowers to a slow path on TPU (~8x slower measured)."""
     N, Q = params.N, params.Q
     plan = nttmod.make_plan(N, Q)
     tables = jnp.asarray(_mono_sq_tables(N, Q))
@@ -84,7 +80,29 @@ def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
         bit = ((idx >> j) & u32(1))[..., None]
         wm = mont_mul(w, tables[j][None, :], Q, u32(plan.qinv_neg))
         w = jnp.where(bit == 1, wm, w)
-    return sub_mod(w, u32(r1), Q)
+    return w
+
+
+def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
+    """EVALUATION-format values of (X^idx - 1), Montgomery form."""
+    Q = params.Q
+    r1 = np.uint32((1 << 32) % Q)
+    return sub_mod(_monomial_pow_eval(params, idx), u32(r1), Q)
+
+
+def monomial_pair_eval(params: TfheParams, idx: jax.Array
+                       ) -> tuple[jax.Array, jax.Array]:
+    """(X^idx - 1, X^{-idx} - 1) in EVALUATION Montgomery form from ONE
+    exponentiation chain: the eval points (2k+1) pair up as
+    2(N-1-k)+1 = 2N-(2k+1) = -(2k+1) mod 2N, so the negative-exponent
+    values are exactly the k-axis flip of the positive ones -- halves
+    the monomial VPU work of every blind-rotate step (bit-identical to
+    two independent chains)."""
+    Q = params.Q
+    r1 = np.uint32((1 << 32) % Q)
+    w = _monomial_pow_eval(params, idx)
+    return (sub_mod(w, u32(r1), Q),
+            sub_mod(jnp.flip(w, axis=-1), u32(r1), Q))
 
 
 def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
@@ -104,22 +122,22 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     m_by_mod = (2 * N) // q
     # idx_pos[b, i] = ((q - a[b,i]) mod q) * 2N/q, in [0, 2N)
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by_mod)) & u32(2 * N - 1)
-    idx_neg = (u32(2 * N) - idx_pos) & u32(2 * N - 1)
 
     def step(acc, xs):
-        bsk_i, ip, ineg = xs           # [2, dG2, 2, N], [B], [B]
+        bsk_i, ip = xs                 # [2, dG2, 2, N], [B]
         c = nttmod.ntt_inverse(plan, acc, ntt_impl, mxu)     # [B, 2, N]
         digits = rgsw.signed_digit_decompose(params, c)      # [B, dG2, N]
         d_eval = rgsw.ntt_signed_digits(plan, digits, ntt_impl, mxu)
         ep_pos = rgsw.external_product(plan, d_eval, bsk_i[0])  # [B, 2, N]
         ep_neg = rgsw.external_product(plan, d_eval, bsk_i[1])
-        mono_p = monomial_minus_one_eval(params, ip)[:, None, :]
-        mono_n = monomial_minus_one_eval(params, ineg)[:, None, :]
+        mp, mn = monomial_pair_eval(params, ip)
+        mono_p = mp[:, None, :]
+        mono_n = mn[:, None, :]
         upd = add_mod(nttmod.pointwise_mont(plan, ep_pos, mono_p),
                       nttmod.pointwise_mont(plan, ep_neg, mono_n), Q)
         return add_mod(acc, upd, Q), None
 
-    xs = (bsk, idx_pos.T, idx_neg.T)
+    xs = (bsk, idx_pos.T)
     acc, _ = jax.lax.scan(step, acc, xs)
     return acc
 

@@ -120,8 +120,8 @@ def _mono_sq_tables_rns(params: TfheParams) -> np.ndarray:
     return np.stack(tabs)                        # each [logm, N]
 
 
-def monomial_minus_one_rns(params: TfheParams, idx: jax.Array) -> jax.Array:
-    """(X^idx - 1) EVAL residues, Montgomery form: [B, L, N]."""
+def _monomial_pow_rns(params: TfheParams, idx: jax.Array) -> jax.Array:
+    """X^idx EVAL residues, Montgomery form: [B, L, N]."""
     N = params.N
     plan = _plan(params)
     tables = jnp.asarray(_mono_sq_tables_rns(params))   # [L, logm, N]
@@ -136,7 +136,29 @@ def monomial_minus_one_rns(params: TfheParams, idx: jax.Array) -> jax.Array:
         bit = ((idx >> j) & u32(1))[..., None, None]
         wm = mont_mul(w, tables[:, j, :][None], qb, qinv)
         w = jnp.where(bit == 1, wm, w)
-    return sub_mod(w, jnp.asarray(r1)[None, :, None], qb)
+    return w
+
+
+def monomial_minus_one_rns(params: TfheParams, idx: jax.Array) -> jax.Array:
+    """(X^idx - 1) EVAL residues, Montgomery form: [B, L, N]."""
+    plan = _plan(params)
+    r1 = np.array([(1 << 32) % q for q in params.moduli_rns],
+                  dtype=np.uint32)
+    return sub_mod(_monomial_pow_rns(params, idx),
+                   jnp.asarray(r1)[None, :, None], plan.q_arr[:, None])
+
+
+def monomial_pair_rns(params: TfheParams, idx: jax.Array
+                      ) -> tuple[jax.Array, jax.Array]:
+    """(X^idx - 1, X^{-idx} - 1) from one exponentiation chain: the
+    negative-exponent values are the eval-point flip (2(N-1-k)+1 =
+    -(2k+1) mod 2N) -- see boot.monomial_pair_eval."""
+    plan = _plan(params)
+    r1 = jnp.asarray(np.array([(1 << 32) % q for q in params.moduli_rns],
+                              dtype=np.uint32))[None, :, None]
+    qb = plan.q_arr[:, None]
+    w = _monomial_pow_rns(params, idx)
+    return sub_mod(w, r1, qb), sub_mod(jnp.flip(w, axis=-1), r1, qb)
 
 
 # ---------------------------------------------------------------------------
@@ -197,25 +219,25 @@ def blind_rotate_rns(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     plan = _plan(params)
     m_by = (2 * N) // q
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by)) & u32(2 * N - 1)
-    idx_neg = (u32(2 * N) - idx_pos) & u32(2 * N - 1)
 
     def step(carry, xs):
         acc = carry
-        bsk_i, ip, ineg = xs
+        bsk_i, ip = xs
         c = rns.ntt_inverse(plan, acc)
         digits = signed_digit_decompose_rns(params, c)
         d_eval = ntt_digits_rns(params, digits)
         ep_pos = external_product_rns(params, d_eval, bsk_i[0])
         ep_neg = external_product_rns(params, d_eval, bsk_i[1])
-        mono_p = monomial_minus_one_rns(params, ip)[:, None]   # [B,1,L,N]
-        mono_n = monomial_minus_one_rns(params, ineg)[:, None]
+        mp, mn = monomial_pair_rns(params, ip)
+        mono_p = mp[:, None]                                   # [B,1,L,N]
+        mono_n = mn[:, None]
         qb = plan.q_arr[:, None]
         qinv = plan.qinv_neg[:, None]
         upd = add_mod(mont_mul(ep_pos, mono_p, qb, qinv),
                       mont_mul(ep_neg, mono_n, qb, qinv), qb)
         return add_mod(acc, upd, qb), None
 
-    acc, _ = jax.lax.scan(step, acc, (bsk, idx_pos.T, idx_neg.T))
+    acc, _ = jax.lax.scan(step, acc, (bsk, idx_pos.T))
     return acc
 
 
