@@ -64,6 +64,30 @@ def _mono_sq_tables(N: int, Q: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _mono_sq_tables_plain(N: int, Q: int) -> tuple[np.ndarray, np.ndarray]:
+    """Plain-form P[j, k] = psi^(2^j * (2k+1)) mod Q plus Shoup duals
+    floor(P * 2^32 / Q): the exponentiation chain then runs as
+    constant-operand Shoup multiplies and yields PLAIN-form monomials
+    (paired with the Shoup external product, whose output is
+    Montgomery-formed -- the final mont_mul cancels the forms)."""
+    plan = nttmod.make_plan(N, Q)
+    logm = (2 * N).bit_length() - 1
+    k = np.arange(N, dtype=np.int64)
+    pows = np.zeros(2 * N, dtype=np.uint64)
+    acc = 1
+    for t in range(2 * N):
+        pows[t] = acc
+        acc = acc * plan.psi % Q
+    out = np.zeros((logm, N), dtype=np.uint32)
+    for j in range(logm):
+        e = ((1 << j) * (2 * k + 1)) % (2 * N)
+        out[j] = pows[e].astype(np.uint32)
+    dual = ((out.astype(np.uint64) << np.uint64(32)) // np.uint64(Q)
+            ).astype(np.uint32)
+    return out, dual
+
+
 def _monomial_pow_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
     """EVALUATION-format values of X^idx, Montgomery form:
     w[b, k] = psi^((2k+1) * idx[b]) * R mod Q, by exponentiation-by-
@@ -105,16 +129,40 @@ def monomial_pair_eval(params: TfheParams, idx: jax.Array
             sub_mod(jnp.flip(w, axis=-1), u32(r1), Q))
 
 
+def monomial_pair_plain(params: TfheParams, idx: jax.Array
+                        ) -> tuple[jax.Array, jax.Array]:
+    """monomial_pair_eval in PLAIN form via a Shoup exponentiation
+    chain (constant tables + duals): ~40% fewer VPU ops per round."""
+    N, Q = params.N, params.Q
+    tables, duals = _mono_sq_tables_plain(N, Q)
+    tables, duals = jnp.asarray(tables), jnp.asarray(duals)
+    logm = (2 * N).bit_length() - 1
+    w = jnp.full(idx.shape + (N,), np.uint32(1), dtype=U32)
+    for j in range(logm):
+        bit = ((idx >> j) & u32(1))[..., None]
+        wm = nttmod.shoup_mul(w, tables[j][None, :], duals[j][None, :], Q)
+        w = jnp.where(bit == 1, wm, w)
+    one = u32(np.uint32(1))
+    return (sub_mod(w, one, Q), sub_mod(jnp.flip(w, axis=-1), one, Q))
+
+
 def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
                  a: jax.Array, ntt_impl: str | None = None,
                  a_modulus: int | None = None,
                  plan: nttmod.NttPlan | None = None,
-                 mxu: "nttmod.MxuTables | None" = None) -> jax.Array:
+                 mxu: "nttmod.MxuTables | None" = None,
+                 bsk_shoup: jax.Array | None = None) -> jax.Array:
     """CGGI accumulation (rgsw-acc-cggi.cpp EvalAcc/AddToAccCGGI).
 
     bsk: [n, 2, dG2, 2, N] uint32 (EVALUATION, Montgomery);
     acc: [B, 2, N] uint32 (EVALUATION, plain form);
     a:   [B, n] uint32, the LWE mask mod q (or mod a_modulus if given).
+
+    With bsk_shoup, the per-step constant multiplies (external product,
+    monomial chain) run as Shoup products; forms stay consistent because
+    the Shoup external product yields Montgomery-formed values and the
+    plain-form monomial's mont_mul cancels the R factor -- final plain
+    values are bit-identical to the Montgomery path.
     """
     N, Q = params.N, params.Q
     q = params.q if a_modulus is None else a_modulus
@@ -124,21 +172,32 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by_mod)) & u32(2 * N - 1)
 
     def step(acc, xs):
-        bsk_i, ip = xs                 # [2, dG2, 2, N], [B]
+        if bsk_shoup is None:
+            bsk_i, ip = xs             # [2, dG2, 2, N], [B]
+            sh = (None, None)
+        else:
+            bsk_i, sh_i, ip = xs
+            sh = (sh_i[0], sh_i[1])
         c = nttmod.ntt_inverse(plan, acc, ntt_impl, mxu)     # [B, 2, N]
         digits = rgsw.signed_digit_decompose(params, c)      # [B, dG2, N]
         d_eval = rgsw.ntt_signed_digits(plan, digits, ntt_impl, mxu)
-        ep_pos = rgsw.external_product(plan, d_eval, bsk_i[0])  # [B, 2, N]
-        ep_neg = rgsw.external_product(plan, d_eval, bsk_i[1])
-        mp, mn = monomial_pair_eval(params, ip)
+        ep_pos = rgsw.external_product(plan, d_eval, bsk_i[0], sh[0])
+        ep_neg = rgsw.external_product(plan, d_eval, bsk_i[1], sh[1])
+        if bsk_shoup is None:
+            mp, mn = monomial_pair_eval(params, ip)
+        else:
+            mp, mn = monomial_pair_plain(params, ip)
         mono_p = mp[:, None, :]
         mono_n = mn[:, None, :]
         upd = add_mod(nttmod.pointwise_mont(plan, ep_pos, mono_p),
                       nttmod.pointwise_mont(plan, ep_neg, mono_n), Q)
         return add_mod(acc, upd, Q), None
 
-    xs = (bsk, idx_pos.T)
-    acc, _ = jax.lax.scan(step, acc, xs)
+    xs = ((bsk, idx_pos.T) if bsk_shoup is None
+          else (bsk, bsk_shoup, idx_pos.T))
+    import os
+    unroll = int(os.environ.get("FHE_SCAN_UNROLL", "4"))
+    acc, _ = jax.lax.scan(step, acc, xs, unroll=unroll)
     return acc
 
 
@@ -232,7 +291,7 @@ def run_accumulator(params: TfheParams, key, test_vec: jax.Array,
     acc = jnp.concatenate([acc0, acc1], axis=1)
     if isinstance(key, rgsw.BootstrapKey):
         return blind_rotate(params, key.bsk, acc, a, ntt_impl, None, plan,
-                            mxu)
+                            mxu, bsk_shoup=key.bsk_shoup)
     if isinstance(key, accmod.DmKey):
         return accmod.blind_rotate_dm(params, key.bsk, acc, a, ntt_impl,
                                       plan, mxu)

@@ -56,8 +56,10 @@ class BinFheContext:
                 return rgsw.BootstrapKey(
                     bsk=rgsw_rns.bsk_gen_rns(self.params, sk, sk_n, rng),
                     ksk=ksk)
-            return rgsw.BootstrapKey(bsk=rgsw.bsk_gen(self.params, sk, sk_n,
-                                                      rng), ksk=ksk)
+            bsk = rgsw.bsk_gen(self.params, sk, sk_n, rng)
+            return rgsw.BootstrapKey(
+                bsk=bsk, ksk=ksk,
+                bsk_shoup=rgsw.shoup_dual(bsk, self.params.Q))
         if self.params.method == Method.AP:
             return accmod.DmKey(bsk=accmod.dm_bsk_gen(self.params, sk, sk_n,
                                                       rng), ksk=ksk)

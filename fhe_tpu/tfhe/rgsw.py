@@ -40,10 +40,15 @@ class BootstrapKey:
          axis 1: sign (0: s_i==1 key, 1: s_i==-1 key);
          axis 2: gadget row r (digit (r>>1)+1 of poly r&1);
          axis 3: RLWE column (a, b).
+    bsk_shoup: same shape, floor(bsk * 2^32 / Q) -- Shoup duals so the
+         external product runs as constant-operand Shoup multiplies
+         (the reference's ModMulFastConst, ubintnat.h) instead of full
+         Montgomery REDCs; None falls back to the Montgomery path.
     ksk: LWE switching key N->n.
     """
     bsk: jax.Array
     ksk: lwe.LweSwitchingKey
+    bsk_shoup: jax.Array | None = None
 
 
 def gadget_powers(params: TfheParams) -> np.ndarray:
@@ -145,15 +150,35 @@ def ntt_signed_digits(plan: nttmod.NttPlan, digits: jax.Array,
     return nttmod.ntt_forward(plan, dmod, impl)
 
 
+def shoup_dual(bsk: jax.Array, Q: int) -> jax.Array:
+    """Host: floor(v * 2^32 / Q) for every uint32 entry (Shoup
+    precomputation for constant-operand multiplies)."""
+    v = np.asarray(bsk).astype(np.uint64)
+    return jnp.asarray(((v << np.uint64(32)) // np.uint64(Q))
+                       .astype(np.uint32))
+
+
 def external_product(plan: nttmod.NttPlan, d_eval: jax.Array,
-                     bsk_rows: jax.Array) -> jax.Array:
+                     bsk_rows: jax.Array,
+                     bsk_shoup: jax.Array | None = None) -> jax.Array:
     """sum_r d_eval[..., r, :] * bsk_rows[r, c, :] -> [..., 2, N].
 
     d_eval: [..., dG2, N] uint32 plain form (EVALUATION);
     bsk_rows: [dG2, 2, N] uint32 Montgomery form (EVALUATION).
-    Result is plain form."""
+
+    Without bsk_shoup: Montgomery REDC products, result in PLAIN form.
+    With bsk_shoup (floor(bsk*2^32/Q)): constant-operand Shoup products
+    (~40% fewer VPU ops), result stays MONTGOMERY-formed (value*R) --
+    the caller's next multiply by a PLAIN-form operand (the monomial)
+    via mont_mul lands back on plain, so the net pipeline is form-exact
+    and bit-identical."""
     q = plan.q
-    prod = mont_mul(d_eval[..., :, None, :], bsk_rows, q, u32(plan.qinv_neg))
+    if bsk_shoup is None:
+        prod = mont_mul(d_eval[..., :, None, :], bsk_rows, q,
+                        u32(plan.qinv_neg))
+    else:
+        prod = nttmod.shoup_mul(d_eval[..., :, None, :], bsk_rows,
+                                bsk_shoup, q)
     # fold the digit axis with modular adds (few terms; values < q)
     acc = prod[..., 0, :, :]
     for r in range(1, prod.shape[-3]):
