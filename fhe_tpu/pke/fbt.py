@@ -225,6 +225,22 @@ def setup(ctx: CkksContext, h: int, r: int = 2, tol: float = 1e-10,
                      rot_indices=rots, bsgs_g=g)
 
 
+def get_fbt_depth(p_in: int, order: int = 2, h: int = 4, r: int = 2,
+                  levels_after: int = 0) -> int:
+    """Multiplicative depth consumed by eval_fbt (the reference's
+    GetFBTDepth, ckksrns-fhe.h): CtS (1) + Chebyshev exp series
+    (Paterson-Stockmeyer, ~log2(deg)+2) + r squarings + Hermite power
+    basis (log2(deg)) + series multiply (1) + StC (1) + levels_after.
+    Use as num_levels when building the CKKS context."""
+    K = (h + 1) // 2 + 4
+    exp_deg = len(_exp_cheb_coeffs(K, r)) - 1
+    herm_deg = max(1, {1: p_in - 1, 2: p_in + p_in // 2,
+                       3: 2 * p_in - 1}[order])
+    cheb_depth = max(1, math.ceil(math.log2(max(2, exp_deg)))) + 2
+    pow_depth = max(1, math.ceil(math.log2(max(2, herm_deg))))
+    return 1 + cheb_depth + r + pow_depth + 1 + 1 + levels_after
+
+
 def keygen(ctx: CkksContext, sk: rlwe.SecretKey, precom: FbtPrecom, rng,
            encapsulate_h: int | None = None) -> dict:
     """Same key set as the ordinary bootstrap (EvalBootstrapKeyGen)."""

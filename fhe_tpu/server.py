@@ -121,12 +121,28 @@ class FheHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # v1 aliases mirror the reference controller's routes verbatim
+    # (fhe_controller.h:242-254); /v1/eval/<gate> maps onto /gate.
+    _ALIASES = {"/v1/context/create": "/context",
+                "/v1/keys/generate": "/keygen",
+                "/v1/encrypt": "/encrypt",
+                "/v1/decrypt": "/decrypt",
+                "/v1/eval/not": "/not"}
+    _GATES = {"and": "AND", "or": "OR", "xor": "XOR", "nand": "NAND",
+              "nor": "NOR", "xnor": "XNOR"}
+
     def do_GET(self):
         if self.path == "/health":
             import jax
             self._reply(200, {"status": "ok", "version": VERSION,
                               "backend": jax.default_backend(),
                               "devices": len(jax.devices())})
+        elif self.path == "/v1/stats":
+            mgr = FheManager.instance()
+            with mgr._lock:
+                self._reply(200, {"contexts": len(mgr._contexts),
+                                  "keys": len(mgr._keys),
+                                  "version": VERSION})
         else:
             self._reply(404, {"error": "not found"})
 
@@ -135,6 +151,15 @@ class FheHandler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
             mgr = FheManager.instance()
+            path = self._ALIASES.get(self.path, self.path)
+            if path.startswith("/v1/eval/"):
+                g = self._GATES.get(path.rsplit("/", 1)[-1])
+                if g is None:
+                    self._reply(404, {"error": "unknown gate"})
+                    return
+                req.setdefault("gate", g)
+                path = "/gate"
+            self.path = path
             if self.path == "/context":
                 cid = mgr.create_context(req.get("param_set", "STD128"),
                                          req.get("method", "GINX"))

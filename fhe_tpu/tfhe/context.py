@@ -129,6 +129,32 @@ class BinFheContext:
     def eval_not(self, ct: lwe.LweCiphertext) -> lwe.LweCiphertext:
         return lwe.not_(ct)
 
+    def eval_constant(self, value, batch: int | None = None
+                      ) -> lwe.LweCiphertext:
+        """Trivial (noiseless, a=0) encryption of a constant bit
+        (EvalConstant -> NoiselessEmbedding, lwe-pke.cpp:377-381):
+        b = (q/4)*m, a = 0.  Useful as a public input to gate circuits."""
+        import jax.numpy as jnp
+        q, n = self.params.q, self.params.n
+        v = np.asarray(value, dtype=np.int64)
+        if batch is not None and v.ndim == 0:
+            v = np.full(batch, int(v))
+        b = ((v % 4) * (q // 4)).astype(np.uint32)
+        a = jnp.zeros(v.shape + (n,), dtype=jnp.uint32)
+        return lwe.LweCiphertext(a=a, b=jnp.asarray(b), modulus=q, pt_mod=4)
+
+    def key_switch_gen(self, sk: lwe.LweSecretKey, sk_n: lwe.LweSecretKey,
+                       rng: np.random.Generator | int = 0):
+        """KeySwitchGen (binfhecontext.h): LWE N->n switching key."""
+        rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+        return lwe.key_switch_gen(self.params, sk, sk_n, rng)
+
+    def switch_ct_to_qn(self, ksk, ct: lwe.LweCiphertext
+                        ) -> lwe.LweCiphertext:
+        """SwitchCTtoqn (binfhecontext.h / lwe-pke.cpp:170): ModSwitch ->
+        KeySwitch -> ModSwitch an extended (N, Q) ciphertext to (n, q)."""
+        return lwe.switch_ct_to_qn(self.params, ksk, ct)
+
     def bootstrap(self, key: rgsw.BootstrapKey, ct: lwe.LweCiphertext,
                   extended: bool = False) -> lwe.LweCiphertext:
         return boot.bootstrap(self.params, key, ct, extended, self.ntt_impl)

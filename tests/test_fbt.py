@@ -127,3 +127,12 @@ def test_arbitrary_lut_sparse():
     got = fbt.decrypt_coeff(ctx, sk, out_rlwe, p)[::stride]
     want = np.array([func(int(v)) % p for v in vals])
     np.testing.assert_array_equal(got, want)
+
+
+def test_get_fbt_depth():
+    """GetFBTDepth analogue: monotone in LUT size, matches the depth the
+    working test contexts were built with (18 levels for p=4, order 2)."""
+    d4 = fbt.get_fbt_depth(4, order=2, h=4)
+    d16 = fbt.get_fbt_depth(16, order=2, h=4)
+    assert 12 <= d4 <= 18
+    assert d16 >= d4

@@ -69,3 +69,30 @@ def test_error_paths(srv):
     assert code == 404
     code, r = _post(srv, "/context", {"param_set": "NOT_A_SET"})
     assert code in (400, 500) and "error" in r
+
+
+def test_v1_route_aliases(srv):
+    """The reference controller's verbatim /v1/* routes
+    (fhe_controller.h:242-254) map onto the flat endpoints."""
+    _, r = _post(srv, "/v1/context/create", {"param_set": "TOY"})
+    cid = r["context_id"]
+    _, r = _post(srv, "/v1/keys/generate", {"context_id": cid})
+    kid = r["key_id"]
+    _, r = _post(srv, "/v1/encrypt",
+                 {"context_id": cid, "key_id": kid, "bits": [1, 0]})
+    c1 = r["ciphertext"]
+    _, r = _post(srv, "/v1/encrypt",
+                 {"context_id": cid, "key_id": kid, "bits": [1, 1]})
+    c2 = r["ciphertext"]
+    code, r = _post(srv, "/v1/eval/nand",
+                    {"context_id": cid, "key_id": kid, "ct1": c1,
+                     "ct2": c2})
+    assert code == 200
+    _, r = _post(srv, "/v1/decrypt", {"context_id": cid, "key_id": kid,
+                                      "ciphertext": r["ciphertext"]})
+    assert r["bits"] == [0, 1]
+    with urllib.request.urlopen(srv + "/v1/stats") as resp:
+        stats = json.loads(resp.read())
+    assert stats["contexts"] >= 1 and stats["keys"] >= 1
+    code, _ = _post(srv, "/v1/eval/bogus", {})
+    assert code == 404

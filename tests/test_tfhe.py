@@ -219,3 +219,17 @@ def test_public_key_mode(toy, rng):
     out = ctx.eval_bin_gate(key, Gate.AND, ct_pk, ct_sk)
     np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out)),
                                   bits & other)
+
+
+def test_eval_constant(toy, rng):
+    """EvalConstant = NoiselessEmbedding (lwe-pke.cpp:377): trivial
+    a=0 ciphertexts decrypt and combine in gates."""
+    ctx, sk, _sk_n, key = toy
+    const = ctx.eval_constant(np.array([0, 1, 0, 1]))
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, const)),
+                                  [0, 1, 0, 1])
+    m = np.array([1, 1, 0, 0])
+    ct = ctx.encrypt(sk, m, rng)
+    out = ctx.eval_bin_gate(key, Gate.AND, ct, const)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out)),
+                                  m & np.array([0, 1, 0, 1]))
