@@ -94,10 +94,11 @@ class BfvContext:
             out[r] = rlwe.evk_gen(self.params, rns.automorphism(s, k), sk, rng)
         return out
 
-    def make_plaintext(self, m, scaled: bool = True) -> RnsPoly:
+    def make_plaintext(self, m, scaled: bool = True,
+                       encoding: str = "packed") -> RnsPoly:
         """Delta * encode(m) over Q (scaled) or plain encode (for mul)."""
         mods = tuple(self.params.moduli)
-        coeffs = bgv.encode(m, self.t, self.params.N)   # [N] in [0, t)
+        coeffs = self._encode(m, encoding)              # [N] in [0, t)
         pt = rlwe.signed_to_rns(coeffs, mods)
         if scaled:
             delta = self.Q // self.t
@@ -105,12 +106,33 @@ class BfvContext:
             pt = rns.mul_scalar(pt, jnp.asarray(dres))
         return rns.to_eval(pt)
 
-    def encrypt(self, pk, m, rng) -> Ciphertext:
-        pt = self.make_plaintext(m)
+    def _encode(self, m, encoding: str) -> np.ndarray:
+        from . import encodings as enc
+        if encoding == "packed":
+            return bgv.encode(m, self.t, self.params.N)
+        if encoding == "coef":
+            return enc.encode_coef_packed(m, self.t, self.params.N)
+        if encoding == "string":
+            return enc.encode_string(m, self.params.N, self.t)
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    def _decode(self, coeffs: np.ndarray, encoding: str):
+        from . import encodings as enc
+        if encoding == "packed":
+            return bgv.decode(coeffs, self.t, self.params.N)
+        if encoding == "coef":
+            return enc.decode_coef_packed(coeffs, self.t)
+        if encoding == "string":
+            return enc.decode_string(coeffs, self.t)
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    def encrypt(self, pk, m, rng, encoding: str = "packed") -> Ciphertext:
+        pt = self.make_plaintext(m, encoding=encoding)
         c0, c1 = rlwe.encrypt_pk(self.params, pk, pt, rng)
         return Ciphertext(c0, c1)
 
-    def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
+    def decrypt(self, sk, ct: Ciphertext,
+                encoding: str = "packed") -> np.ndarray:
         ph = rlwe.decrypt_phase(sk, ct.c0, ct.c1)
         if ct.c2 is not None:
             s = sk.eval_poly(ct.moduli)
@@ -120,7 +142,7 @@ class BfvContext:
         coeffs = np.array(
             [((2 * int(x) * t + Q) // (2 * Q)) % t for x in big],
             dtype=np.int64)   # round(t*x/Q) mod t, exact integer arithmetic
-        return bgv.decode(coeffs, t, self.params.N)
+        return self._decode(coeffs, encoding)
 
     # -- ops --------------------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

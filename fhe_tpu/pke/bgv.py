@@ -102,18 +102,41 @@ class BgvContext:
                                   rng, noise_scale=self.t)
         return out
 
-    def make_plaintext(self, m, mods: tuple | None = None) -> RnsPoly:
+    def make_plaintext(self, m, mods: tuple | None = None,
+                       encoding: str = "packed") -> RnsPoly:
         mods = mods or tuple(self.params.moduli)
-        coeffs = encode(m, self.t, self.params.N)
+        coeffs = self._encode(m, encoding)
         return rns.to_eval(rlwe.signed_to_rns(coeffs, mods))
 
-    def encrypt(self, pk, m, rng) -> Ciphertext:
-        pt = self.make_plaintext(m)
+    def _encode(self, m, encoding: str) -> np.ndarray:
+        """packed (SIMD slots) / coef / string (encoding/*encoding.h)."""
+        from . import encodings as enc
+        if encoding == "packed":
+            return encode(m, self.t, self.params.N)
+        if encoding == "coef":
+            return enc.encode_coef_packed(m, self.t, self.params.N)
+        if encoding == "string":
+            return enc.encode_string(m, self.params.N, self.t)
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    def _decode(self, coeffs: np.ndarray, encoding: str):
+        from . import encodings as enc
+        if encoding == "packed":
+            return decode(coeffs, self.t, self.params.N)
+        if encoding == "coef":
+            return enc.decode_coef_packed(coeffs, self.t)
+        if encoding == "string":
+            return enc.decode_string(coeffs, self.t)
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    def encrypt(self, pk, m, rng, encoding: str = "packed") -> Ciphertext:
+        pt = self.make_plaintext(m, encoding=encoding)
         c0, c1 = rlwe.encrypt_pk(self.params, pk, pt, rng,
                                  noise_scale=self.t)
         return Ciphertext(c0, c1)
 
-    def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
+    def decrypt(self, sk, ct: Ciphertext,
+                encoding: str = "packed") -> np.ndarray:
         ph = rlwe.decrypt_phase(sk, ct.c0, ct.c1)
         if ct.c2 is not None:
             s = sk.eval_poly(ct.moduli)
@@ -127,7 +150,7 @@ class BgvContext:
         coeffs = np.array(
             [((int(x) if int(x) <= Q // 2 else int(x) - Q) * inv) % t
              for x in big], dtype=np.int64)
-        return decode(coeffs, t, self.params.N)
+        return self._decode(coeffs, encoding)
 
     # -- ops ------------------------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
