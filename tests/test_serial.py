@@ -85,3 +85,36 @@ def test_new_key_types_roundtrip(rng):
     back2 = serial.loads(jblob, mode="json")
     assert back2[1].party_id == vks[1].party_id
     assert back2[1].commitment == vks[1].commitment
+
+
+def test_eval_key_cache_roundtrip(rng):
+    """Per-keyTag eval-key caches + Serialize/DeserializeEvalMultKey /
+    AutomorphismKey (cryptocontext.h:643-800)."""
+    from fhe_tpu.pke import keycache
+    ctx = ckks.CkksContext.create(N=128, num_levels=3, scale_bits=26, dnum=2)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    rot = ctx.rotation_key_gen(sk, [1, -1], rng)
+    keycache.clear_eval_mult_keys()
+    keycache.clear_eval_automorphism_keys()
+    keycache.insert_eval_mult_key(evk, "alice")
+    keycache.insert_eval_automorphism_key(rot, "alice")
+    assert keycache.get_existing_eval_automorphism_key_indices("alice") \
+        == [-1, 1]
+    blob = keycache.serialize_eval_mult_key("alice")
+    ablob = keycache.serialize_eval_automorphism_key("alice")
+    keycache.clear_eval_mult_keys("alice")
+    keycache.clear_eval_automorphism_keys("alice")
+    assert keycache.get_all_eval_mult_keys() == {}
+    assert keycache.deserialize_eval_mult_key(blob) == ["alice"]
+    assert keycache.deserialize_eval_automorphism_key(ablob) == ["alice"]
+    # restored keys still work: mult+relin and a rotation
+    z = rng.normal(size=64)
+    ct = ctx.encrypt(pk, z, rng)
+    evk2 = keycache.get_eval_mult_key("alice")
+    out = ctx.rescale(ctx.mul(ct, ct, evk2))
+    np.testing.assert_allclose(ctx.decrypt(sk, out).real, z * z, atol=1e-2)
+    rot2 = keycache.get_eval_automorphism_key("alice")
+    rctx = ctx.rotate(ct, 1, rot2)
+    np.testing.assert_allclose(ctx.decrypt(sk, rctx).real, np.roll(z, -1),
+                               atol=1e-3)
