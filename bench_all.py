@@ -107,7 +107,49 @@ def bench_threshold_ckks():
     emit(f"threshold_ckks_5party_n{N}", ms, 50.0)
 
 
+def bench_ntt_sizes():
+    """poly-benchmark-{1k,4k,8k,16k,64k}.cpp analogue: batched negacyclic
+    forward NTT per size.  Reference CPU NativeNTT single-transform:
+    7.99 / 37.5 / 84.3 us at 1k/4k/8k (BENCHMARKS.md:127-129); we report
+    per-transform time at batch 64 (the TPU operating point)."""
+    import jax.numpy as jnp
+    from fhe_tpu.math import ntt as nttmod, primes
+    B = 64
+    base = {1024: 0.00799, 4096: 0.0375, 8192: 0.0843,
+            16384: 0.180, 65536: 0.800}   # 16k/64k extrapolated ~2.1x/oct
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    sizes = (1024, 4096) if small else (1024, 4096, 8192, 16384, 65536)
+    rng = np.random.default_rng(5)
+    for N in sizes:
+        q = primes.generate_ntt_primes(30, 2 * N, 1)[0]
+        plan = nttmod.make_plan(N, q)
+        x = jnp.asarray(rng.integers(0, q, size=(B, N), dtype=np.int64)
+                        .astype(np.uint32))
+        f = jax.jit(lambda v: nttmod.forward_mxu(plan, v))
+        ms = timed(lambda: f(x), iters=10) * 1e3 / B
+        emit(f"ntt_forward_n{N}_per_transform_b{B}", ms, base[N])
+
+
+def bench_bfv_mult_methods():
+    """compare-bfv-hps-leveled-vs-behz.cpp analogue: one relinearized
+    multiply under each multiplicationTechnique."""
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    N = 1 << (10 if small else 13)
+    ctx = bfv.BfvContext.create(N=N, num_limbs=3, plain_mod=65537, dnum=3)
+    rng = np.random.default_rng(6)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    m = rng.integers(0, 65537, size=N)
+    c1, c2 = ctx.encrypt(pk, m, rng), ctx.encrypt(pk, m, rng)
+    for tech in ("hps", "behz"):
+        f = jax.jit(lambda a, b, k, t=tech: ctx.mul(a, b, k, technique=t))
+        ms = timed(lambda: f(c1, c2, evk), iters=5) * 1e3
+        emit(f"bfv_mult_relin_{tech}_n{N}", ms, 3.021)
+
+
 if __name__ == "__main__":
     bench_ckks_mult_rescale()
     bench_bfv_dot()
     bench_threshold_ckks()
+    bench_ntt_sizes()
+    bench_bfv_mult_methods()

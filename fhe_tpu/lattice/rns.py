@@ -359,6 +359,137 @@ def scale_and_round_t_over_q(p: RnsPoly, q_mods: tuple, r_mods: tuple,
     return mul_scalar(diff, jnp.asarray(qinv))
 
 
+# ---------------------------------------------------------------------------
+# BEHZ (eprint 2016/510) base-conversion kit
+# ---------------------------------------------------------------------------
+
+_MTILDE = 1 << 16          # power of two: mod-mtilde arithmetic is masking
+
+
+@functools.lru_cache(maxsize=None)
+def _behz_conv_consts(q_mods: tuple, bsk_mods: tuple):
+    """Constants for FastBaseConvqToBskMontgomery (dcrtpoly.h:305-312):
+    mtilde folded into the per-limb inverse; q-hat residues in bsk and
+    mtilde; the SmMRq correction scalars."""
+    Q = 1
+    for q in q_mods:
+        Q *= q
+    L, M = len(q_mods), len(bsk_mods)
+    mt = _MTILDE
+    mtilde_qhat_inv = np.zeros(L, dtype=np.uint32)      # Mont form wrt q_i
+    qhat_bsk = np.zeros((L, M), dtype=np.uint32)        # Mont form wrt b_j
+    qhat_mtilde = np.zeros(L, dtype=np.uint32)          # plain, < mtilde
+    for i, qi in enumerate(q_mods):
+        qhat = Q // qi
+        mtilde_qhat_inv[i] = ((mt * pow(qhat % qi, -1, qi) % qi) << 32) % qi
+        qhat_mtilde[i] = qhat % mt
+        for j, bj in enumerate(bsk_mods):
+            qhat_bsk[i, j] = ((qhat % bj) << 32) % bj
+    neg_q_inv_mtilde = np.uint32(mt - pow(Q % mt, -1, mt))
+    q_bsk = np.array([((Q % bj) << 32) % bj for bj in bsk_mods],
+                     dtype=np.uint32)                   # Mont form
+    q_bsk_plain = np.array([Q % bj for bj in bsk_mods], dtype=np.uint32)
+    mtilde_inv_bsk = np.array([pow(mt % bj, -1, bj) for bj in bsk_mods],
+                              dtype=np.uint32)          # plain
+    return (mtilde_qhat_inv, qhat_bsk, qhat_mtilde, neg_q_inv_mtilde,
+            q_bsk, mtilde_inv_bsk, q_bsk_plain)
+
+
+def fast_base_conv_q_to_bsk(p: RnsPoly, bsk_mods: tuple) -> RnsPoly:
+    """BEHZ FastBaseConvqToBskMontgomery (dcrtpoly.h:305-312; eprint
+    2016/510 §3.1): approximate CRT conversion of mtilde*x from q to
+    Bsk u {mtilde}, then small Montgomery reduction by mtilde removes
+    the alpha*Q conversion error — the result represents x (or x+Q)
+    EXACTLY in Bsk.  COEFFICIENT format; one limb-axis contraction."""
+    assert p.fmt == COEFF
+    plan = p.plan
+    bsk_plan = make_rns_plan(p.N, bsk_mods)
+    (mqinv_np, qhat_bsk_np, qhat_mt_np, negqinv_mt, q_bsk_np,
+     mtinv_np, q_plain_np) = _behz_conv_consts(p.moduli, bsk_mods)
+    mt_mask = u32(_MTILDE - 1)
+    # y_i = |x_i * mtilde * qhat_i^{-1}|_{q_i}
+    y = mont_mul(p.data, jnp.asarray(mqinv_np)[:, None], _qb(plan),
+                 plan.qinv_neg[:, None])                 # [..., L, N]
+    bq = bsk_plan.q_arr[:, None]
+    binv = bsk_plan.qinv_neg[:, None]
+    terms = mont_mul(y[..., :, None, :], jnp.asarray(qhat_bsk_np)[:, :, None],
+                     bq, binv)
+    acc = terms[..., 0, :, :]
+    for i in range(1, len(p.moduli)):
+        acc = add_mod(acc, terms[..., i, :, :], bq)      # [..., M, N]
+    # c_mtilde = sum_i y_i * qhat_i mod mtilde (2^16 | 2^32: uint32 wrap
+    # is exact mod mtilde after masking)
+    cm = (y * jnp.asarray(qhat_mt_np)[:, None]).sum(
+        axis=-2, dtype=U32) & mt_mask
+    r = (cm * negqinv_mt) & mt_mask                      # [..., N]
+    # out = (acc + Q*r) * mtilde^{-1} - Q*[r >= mtilde/2]  mod b_j
+    q_bsk = jnp.asarray(q_bsk_np)[:, None]
+    rq = mont_mul(r[..., None, :], q_bsk, bq, binv)      # r*Q mod b_j (plain)
+    num = add_mod(acc, rq, bq)
+    mtinv_m = mont_mul(jnp.asarray(mtinv_np)[:, None],
+                       bsk_plan.r2[:, None], bq, binv)   # Mont form
+    out = mont_mul(num, mtinv_m, bq, binv)
+    q_plain = jnp.asarray(q_plain_np)[:, None]
+    out = jnp.where((r >= u32(_MTILDE // 2))[..., None, :],
+                    sub_mod(out, q_plain, bq), out)
+    return RnsPoly(out, bsk_mods, COEFF)
+
+
+def fast_rns_floor_q(x_q: RnsPoly, x_bsk: RnsPoly) -> RnsPoly:
+    """BEHZ FastRNSFloorq (dcrtpoly.h FastRNSFloorq; eprint 2016/510
+    §3.2): given residues of the SAME integer y in q and Bsk, return
+    floor(y/Q) (minus a small alpha < L conversion error) in Bsk."""
+    assert x_q.fmt == COEFF and x_bsk.fmt == COEFF
+    conv = switch_crt_basis_approx(x_q, x_bsk.moduli)    # |y|_q + alpha*Q
+    diff = sub(x_bsk, conv)
+    Q = 1
+    for q in x_q.moduli:
+        Q *= q
+    qinv = np.array([pow(Q % b, -1, b) for b in x_bsk.moduli],
+                    dtype=np.uint32)
+    return mul_scalar(diff, jnp.asarray(qinv))
+
+
+def fast_base_conv_sk(p: RnsPoly, q_mods: tuple) -> RnsPoly:
+    """BEHZ FastBaseConvSK (dcrtpoly.h FastBaseConvSK; Shenoy-Kumaresan):
+    exact conversion from Bsk = B u {m_sk} (m_sk = LAST limb) back to q,
+    using the m_sk residue to cancel the approximate-conversion alpha*B."""
+    assert p.fmt == COEFF
+    B_mods = p.moduli[:-1]
+    msk = p.moduli[-1]
+    x_B = RnsPoly(p.data[..., :-1, :], B_mods, COEFF)
+    x_msk = p.data[..., -1, :]                           # [..., N]
+    z_q = switch_crt_basis_approx(x_B, tuple(q_mods))    # x + alpha*B mod q
+    z_msk = switch_crt_basis_approx(x_B, (msk,)).data[..., 0, :]
+    Bprod = 1
+    for b in B_mods:
+        Bprod *= b
+    binv_msk = pow(Bprod % msk, -1, msk)
+    # alpha = |(z_msk - x_msk) * B^{-1}|_msk, then centered at msk/2
+    msk_q = jnp.asarray(np.array([msk], dtype=np.uint32))[:, None]
+    d = sub_mod(z_msk[..., None, :], x_msk[..., None, :], msk_q)
+    msk_plan = make_rns_plan(p.N, (msk,))
+    binv_m = mont_mul(jnp.asarray(np.array([binv_msk], dtype=np.uint32)
+                                  )[:, None],
+                      msk_plan.r2[:, None], msk_q,
+                      msk_plan.qinv_neg[:, None])
+    alpha = mont_mul(d, binv_m, msk_q, msk_plan.qinv_neg[:, None])[
+        ..., 0, :]                                       # [..., N]
+    q_plan = make_rns_plan(p.N, tuple(q_mods))
+    qq = q_plan.q_arr[:, None]
+    qinv = q_plan.qinv_neg[:, None]
+    B_q = np.array([((Bprod % qj) << 32) % qj for qj in q_mods],
+                   dtype=np.uint32)                      # Mont form
+    aB = mont_mul(alpha[..., None, :], jnp.asarray(B_q)[:, None], qq, qinv)
+    out = sub_mod(z_q.data, aB, qq)
+    # centering: alpha >= msk/2 means alpha - msk; add msk*B back
+    mskB_q = jnp.asarray(np.array([(msk * Bprod) % qj for qj in q_mods],
+                                  dtype=np.uint32))[:, None]
+    out = jnp.where((alpha >= u32(msk // 2))[..., None, :],
+                    add_mod(out, mskB_q, qq), out)
+    return RnsPoly(out, tuple(q_mods), COEFF)
+
+
 def expand_crt_basis_approx(p: RnsPoly, ext_mods: tuple) -> RnsPoly:
     """ApproxModUp Q -> QP (dcrtpoly-impl.h:988): keep Q limbs, append the
     switched P limbs."""

@@ -159,8 +159,19 @@ class BfvContext:
         return Ciphertext(rns.mul(a.c0, pt), rns.mul(a.c1, pt))
 
     def mul(self, a: Ciphertext, b: Ciphertext,
-            evk: rlwe.EvalKey | None = None) -> Ciphertext:
-        """HPS EvalMultCore: expand -> tensor -> t/Q scale -> convert back."""
+            evk: rlwe.EvalKey | None = None,
+            technique: str = "hps") -> Ciphertext:
+        """EvalMultCore with selectable multiplicationTechnique
+        (gen-cryptocontext params flag; bfvrns-leveledshe.cpp:551-574
+        branches HPS vs BEHZ):
+
+        - "hps": expand -> tensor -> t/Q round -> exact convert back
+          (exact centered basis switches, smallest noise);
+        - "behz": Montgomery base conversion q->Bsk with mtilde
+          correction, tensor in q u Bsk, FastRNSFloor by Q,
+          Shenoy-Kumaresan exact return (eprint 2016/510)."""
+        if technique == "behz":
+            return self._mul_behz(a, b, evk)
         q_mods = tuple(self.params.moduli)
         r_mods = self._aux_basis()
         qr = q_mods + r_mods
@@ -188,6 +199,40 @@ class BfvContext:
             return rns.to_eval(w_q)
 
         e0, e1, e2 = scale_back(d0), scale_back(d1), scale_back(d2)
+        if evk is None:
+            return Ciphertext(e0, e1, c2=e2)
+        k0, k1 = rlwe.key_switch(self.params, evk, e2)
+        return Ciphertext(rns.add(e0, k0), rns.add(e1, k1))
+
+    def _mul_behz(self, a: Ciphertext, b: Ciphertext,
+                  evk: rlwe.EvalKey | None = None) -> Ciphertext:
+        """BEHZ multiplication (bfvrns-leveledshe.cpp:299-321 BEHZ branch;
+        dcrtpoly FastBaseConvqToBskMontgomery / FastRNSFloorq /
+        FastBaseConvSK).  Bsk = first L+1 aux primes + m_sk (last)."""
+        q_mods = tuple(self.params.moduli)
+        bsk = self._aux_basis()           # L+2 NTT-friendly 30-bit primes
+
+        def lift(c: RnsPoly):
+            cc = rns.to_coeff(c)
+            ck = rns.fast_base_conv_q_to_bsk(cc, bsk)
+            return c, rns.to_eval(ck)     # (eval over q, eval over bsk)
+
+        a0q, a0k = lift(a.c0)
+        a1q, a1k = lift(a.c1)
+        b0q, b0k = lift(b.c0)
+        b1q, b1k = lift(b.c1)
+        ds = []
+        for dq, dk in (
+            (rns.mul(a0q, b0q), rns.mul(a0k, b0k)),
+            (rns.add(rns.mul(a0q, b1q), rns.mul(a1q, b0q)),
+             rns.add(rns.mul(a0k, b1k), rns.mul(a1k, b0k))),
+            (rns.mul(a1q, b1q), rns.mul(a1k, b1k)),
+        ):
+            yq = rns.mul_scalar(rns.to_coeff(dq), self.t)
+            yk = rns.mul_scalar(rns.to_coeff(dk), self.t)
+            fl = rns.fast_rns_floor_q(yq, yk)
+            ds.append(rns.to_eval(rns.fast_base_conv_sk(fl, q_mods)))
+        e0, e1, e2 = ds
         if evk is None:
             return Ciphertext(e0, e1, c2=e2)
         k0, k1 = rlwe.key_switch(self.params, evk, e2)

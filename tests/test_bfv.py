@@ -88,6 +88,64 @@ def test_mul_relin(ctx, keys, rng):
     np.testing.assert_array_equal(ctx.decrypt(sk, prod), (m1 * m2) % T)
 
 
+def test_behz_base_conversions(rng):
+    """Unit KATs for the BEHZ kit: q->Bsk Montgomery conversion is exact
+    (up to +Q), the RNS floor is within the alpha < L slack, and the
+    Shenoy-Kumaresan return trip is exact."""
+    q_mods = tuple(primes.generate_ntt_primes(28, 2 * N, 3))
+    bsk = tuple(primes.generate_ntt_primes(30, 2 * N, 5))
+    Q = 1
+    for q in q_mods:
+        Q *= q
+    vals = np.array([int(v) % Q for v in
+                     rng.integers(0, 1 << 62, size=N, dtype=np.uint64)],
+                    dtype=object)
+    p = rns.from_bigint(vals, q_mods, N)
+    out = rns.fast_base_conv_q_to_bsk(p, bsk)
+    got = np.asarray(out.data)
+    for j, bj in enumerate(bsk):
+        for x, g in zip(vals, got[j]):
+            assert int(g) in (int(x) % bj, (int(x) + Q) % bj)
+
+    # floor: y in both bases, y < Q * prod(B)/2
+    Bprod = 1
+    for b in bsk[:-1]:
+        Bprod *= b
+    ys = np.array([int(v) % (Q * Bprod // 4) for v in
+                   rng.integers(0, 1 << 62, size=N, dtype=np.uint64)],
+                  dtype=object)
+    y_q = rns.from_bigint(ys, q_mods, N)
+    y_bsk = rns.from_bigint(ys, bsk, N)
+    fl = rns.to_bigint(rns.fast_rns_floor_q(y_q, y_bsk))
+    Mbsk = Bprod * bsk[-1]
+    for g, y in zip(fl, ys):
+        alpha = (y // Q - int(g)) % Mbsk
+        assert alpha < len(q_mods)
+
+    # SK return: x < Bprod/2 exact
+    xs = np.array([int(v) % (Bprod // 2) for v in
+                   rng.integers(0, 1 << 62, size=N, dtype=np.uint64)],
+                  dtype=object)
+    x_bsk = rns.from_bigint(xs, bsk, N)
+    back = np.asarray(rns.fast_base_conv_sk(x_bsk, q_mods).data)
+    for j, qj in enumerate(q_mods):
+        np.testing.assert_array_equal(
+            back[j], np.array([int(x) % qj for x in xs], dtype=np.uint32))
+
+
+def test_mul_behz(ctx, keys, rng):
+    """BEHZ multiplicationTechnique decrypts identically to HPS
+    (compare-bfv-hps-leveled-vs-behz.cpp analogue)."""
+    sk, pk, evk, _ = keys
+    m1 = rng.integers(0, T, size=N)
+    m2 = rng.integers(0, T, size=N)
+    ct1 = ctx.encrypt(pk, m1, rng)
+    ct2 = ctx.encrypt(pk, m2, rng)
+    prod = ctx.mul(ct1, ct2, evk, technique="behz")
+    assert prod.c2 is None
+    np.testing.assert_array_equal(ctx.decrypt(sk, prod), (m1 * m2) % T)
+
+
 def test_dot_product(ctx, keys, rng):
     sk, pk, evk, _ = keys
     k = 4
