@@ -16,7 +16,10 @@ m1 = np.array([0, 0, 1, 1])
 m2 = np.array([0, 1, 0, 1])
 
 for method in ("GINX", "AP", "LMKCDEY"):
-    ctx = BinFheContext.generate("TOY", method=method)
+    # LMKCDEY's round-to-odd automorphism exponents need q == 2N
+    # (binfhe-constants-impl.cpp pairs the _LMKCDEY sets accordingly)
+    pset = "TOY_LMKCDEY" if method == "LMKCDEY" else "TOY"
+    ctx = BinFheContext.generate(pset, method=method)
     rng = np.random.default_rng(7)
     sk = ctx.key_gen(rng)
     key = ctx.bt_key_gen(sk, rng)
