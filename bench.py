@@ -25,8 +25,22 @@ from fhe_tpu.tfhe import BinFheContext, Gate, lwe, boot  # noqa: E402
 BASELINE_GATES_PER_SEC = 100.0  # reference: ~10 ms/gate, EPYC 7763 1T
 
 
+def _default_backend() -> str:
+    """jax.default_backend(), degrading to CPU when the TPU plugin
+    registers but its tunnel is down (axon raises UNAVAILABLE at init
+    instead of falling through) -- the bench must always print its one
+    JSON line."""
+    try:
+        return jax.default_backend()
+    except RuntimeError as e:
+        print(f"# tpu backend unavailable ({e}); falling back to cpu",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
+
+
 def main():
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _default_backend() == "tpu"
     param_set = os.environ.get("FHE_BENCH_PARAMS", "STD128")
     batch = int(os.environ.get("FHE_BENCH_BATCH", "2048" if on_tpu else "8"))
     iters = int(os.environ.get("FHE_BENCH_ITERS", "3" if on_tpu else "1"))

@@ -24,6 +24,18 @@ from fhe_tpu.pke import ckks, bfv, multiparty, advanced  # noqa: E402
 from fhe_tpu.lattice import rns  # noqa: E402
 
 
+def ensure_backend() -> str:
+    """Degrade to CPU when the TPU plugin registers but its tunnel is
+    down (axon raises UNAVAILABLE at init) -- the matrix must still run."""
+    try:
+        return jax.default_backend()
+    except RuntimeError as e:
+        print(f"# tpu backend unavailable ({e}); falling back to cpu",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
+
+
 def timed(fn, iters=5):
     out = fn()
     jax.block_until_ready(jax.tree.leaves(out))
@@ -148,6 +160,7 @@ def bench_bfv_mult_methods():
 
 
 if __name__ == "__main__":
+    ensure_backend()
     bench_ckks_mult_rescale()
     bench_bfv_dot()
     bench_threshold_ckks()

@@ -88,19 +88,24 @@ def _mono_sq_tables_plain(N: int, Q: int) -> tuple[np.ndarray, np.ndarray]:
     return out, dual
 
 
-def _monomial_pow_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
+def _monomial_pow_eval(params: TfheParams, idx: jax.Array,
+                       zero_low_bits: int = 0) -> jax.Array:
     """EVALUATION-format values of X^idx, Montgomery form:
     w[b, k] = psi^((2k+1) * idx[b]) * R mod Q, by exponentiation-by-
     squaring over log2(2N) constant tables (selected per idx bit) --
     pure VPU work.  The equivalent [B, N] gather from the psi-power
-    table lowers to a slow path on TPU (~8x slower measured)."""
+    table lowers to a slow path on TPU (~8x slower measured).
+
+    zero_low_bits: caller guarantee that idx is a multiple of
+    2^zero_low_bits (blind rotation scales the mask by 2N/q), letting
+    the chain skip the statically-dead low squaring rounds."""
     N, Q = params.N, params.Q
     plan = nttmod.make_plan(N, Q)
     tables = jnp.asarray(_mono_sq_tables(N, Q))
     logm = (2 * N).bit_length() - 1
     r1 = np.uint32((1 << 32) % Q)                # Montgomery form of 1
     w = jnp.full(idx.shape + (N,), r1, dtype=U32)
-    for j in range(logm):
+    for j in range(zero_low_bits, logm):
         bit = ((idx >> j) & u32(1))[..., None]
         wm = mont_mul(w, tables[j][None, :], Q, u32(plan.qinv_neg))
         w = jnp.where(bit == 1, wm, w)
@@ -114,7 +119,8 @@ def monomial_minus_one_eval(params: TfheParams, idx: jax.Array) -> jax.Array:
     return sub_mod(_monomial_pow_eval(params, idx), u32(r1), Q)
 
 
-def monomial_pair_eval(params: TfheParams, idx: jax.Array
+def monomial_pair_eval(params: TfheParams, idx: jax.Array,
+                       zero_low_bits: int = 0
                        ) -> tuple[jax.Array, jax.Array]:
     """(X^idx - 1, X^{-idx} - 1) in EVALUATION Montgomery form from ONE
     exponentiation chain: the eval points (2k+1) pair up as
@@ -124,12 +130,13 @@ def monomial_pair_eval(params: TfheParams, idx: jax.Array
     two independent chains)."""
     Q = params.Q
     r1 = np.uint32((1 << 32) % Q)
-    w = _monomial_pow_eval(params, idx)
+    w = _monomial_pow_eval(params, idx, zero_low_bits)
     return (sub_mod(w, u32(r1), Q),
             sub_mod(jnp.flip(w, axis=-1), u32(r1), Q))
 
 
-def monomial_pair_plain(params: TfheParams, idx: jax.Array
+def monomial_pair_plain(params: TfheParams, idx: jax.Array,
+                        zero_low_bits: int = 0
                         ) -> tuple[jax.Array, jax.Array]:
     """monomial_pair_eval in PLAIN form via a Shoup exponentiation
     chain (constant tables + duals): ~40% fewer VPU ops per round."""
@@ -138,7 +145,7 @@ def monomial_pair_plain(params: TfheParams, idx: jax.Array
     tables, duals = jnp.asarray(tables), jnp.asarray(duals)
     logm = (2 * N).bit_length() - 1
     w = jnp.full(idx.shape + (N,), np.uint32(1), dtype=U32)
-    for j in range(logm):
+    for j in range(zero_low_bits, logm):
         bit = ((idx >> j) & u32(1))[..., None]
         wm = nttmod.shoup_mul(w, tables[j][None, :], duals[j][None, :], Q)
         w = jnp.where(bit == 1, wm, w)
@@ -170,6 +177,9 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     m_by_mod = (2 * N) // q
     # idx_pos[b, i] = ((q - a[b,i]) mod q) * 2N/q, in [0, 2N)
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by_mod)) & u32(2 * N - 1)
+    # every idx is a multiple of 2N/q -- those low squaring rounds of the
+    # monomial chain are statically dead
+    zlb = (m_by_mod.bit_length() - 1) if (m_by_mod & (m_by_mod - 1)) == 0 else 0
 
     def step(acc, xs):
         if bsk_shoup is None:
@@ -184,9 +194,9 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
         ep_pos = rgsw.external_product(plan, d_eval, bsk_i[0], sh[0])
         ep_neg = rgsw.external_product(plan, d_eval, bsk_i[1], sh[1])
         if bsk_shoup is None:
-            mp, mn = monomial_pair_eval(params, ip)
+            mp, mn = monomial_pair_eval(params, ip, zlb)
         else:
-            mp, mn = monomial_pair_plain(params, ip)
+            mp, mn = monomial_pair_plain(params, ip, zlb)
         mono_p = mp[:, None, :]
         mono_n = mn[:, None, :]
         upd = add_mod(nttmod.pointwise_mont(plan, ep_pos, mono_p),
