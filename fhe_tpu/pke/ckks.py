@@ -121,6 +121,17 @@ class Ciphertext:
     c1: RnsPoly
     scale: float = dataclasses.field(metadata=dict(static=True))
     c2: RnsPoly | None = None     # degree-2 component before relin
+    c_rest: tuple = ()            # degree >= 3 components (EvalMultNoRelin
+    #                               chains; cryptocontext.h EvalMultNoRelin /
+    #                               EvalMultAndRelinearize)
+
+    def components(self) -> list:
+        """All polynomial components [c0, c1, c2, ...]."""
+        out = [self.c0, self.c1]
+        if self.c2 is not None:
+            out.append(self.c2)
+        out.extend(self.c_rest)
+        return out
 
     @property
     def moduli(self) -> tuple:
@@ -249,10 +260,13 @@ class CkksContext:
             ph = rns.add(ph, rlwe.signed_to_rns(e, ph.moduli, fmt=ph.fmt)
                          if ph.fmt == rns.COEFF else
                          rns.to_eval(rlwe.signed_to_rns(e, ph.moduli)))
-        if ct.c2 is not None:
+        comps = ct.components()
+        if len(comps) > 2:
             s = sk.eval_poly(ct.moduli)
-            extra = rns.to_coeff(rns.mul(rns.mul(ct.c2, s), s))
-            ph = rns.add(ph, extra)
+            s_pow = rns.mul(s, s)
+            for c in comps[2:]:
+                ph = rns.add(ph, rns.to_coeff(rns.mul(c, s_pow)))
+                s_pow = rns.mul(s_pow, s)
         big = rns.to_bigint(ph)
         Q = 1
         for q in ct.moduli:
@@ -307,6 +321,62 @@ class CkksContext:
 
     def square(self, a: Ciphertext, evk: rlwe.EvalKey) -> Ciphertext:
         return self.mul(a, a, evk)
+
+    def relin_keys_gen(self, sk: rlwe.SecretKey, rng,
+                       max_degree: int = 3) -> dict[int, rlwe.EvalKey]:
+        """EvalMultKeysGen (cryptocontext.h:1099): switching keys for
+        s^2..s^max_degree, enabling relinearization of ciphertexts of any
+        degree up to max_degree (EvalMultNoRelin chains)."""
+        mods = tuple(self.params.moduli)
+        s = sk.eval_poly(mods)
+        out = {}
+        s_pow = s
+        for d in range(2, max_degree + 1):
+            s_pow = rns.mul(s_pow, s)
+            out[d] = rlwe.evk_gen(self.params, s_pow, sk, rng)
+        return out
+
+    def mul_no_relin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """EvalMultNoRelin for arbitrary input degrees: full component
+        convolution (degree da + db); no key switch."""
+        assert a.moduli == b.moduli
+        ca, cb = a.components(), b.components()
+        out = [None] * (len(ca) + len(cb) - 1)
+        for i, x in enumerate(ca):
+            for j, y in enumerate(cb):
+                t = rns.mul(x, y)
+                k = i + j
+                out[k] = t if out[k] is None else rns.add(out[k], t)
+        scale = a.scale * b.scale
+        return Ciphertext(out[0], out[1], scale,
+                          c2=out[2] if len(out) > 2 else None,
+                          c_rest=tuple(out[3:]))
+
+    def relinearize(self, a: Ciphertext,
+                    evks: dict[int, rlwe.EvalKey] | rlwe.EvalKey
+                    ) -> Ciphertext:
+        """Relinearize (cryptocontext.h:2050): key-switch every component
+        of degree >= 2 down onto (c0, c1) using the s^d keys from
+        relin_keys_gen (a bare EvalKey is accepted for the degree-2-only
+        case)."""
+        comps = a.components()
+        if len(comps) <= 2:
+            return a
+        if isinstance(evks, rlwe.EvalKey):
+            evks = {2: evks}
+        d0, d1 = comps[0], comps[1]
+        for d, c in enumerate(comps[2:], start=2):
+            k0, k1 = rlwe.key_switch(self.params, evks[d], c)
+            d0 = rns.add(d0, k0)
+            d1 = rns.add(d1, k1)
+        return Ciphertext(d0, d1, a.scale)
+
+    def mul_and_relinearize(self, a: Ciphertext, b: Ciphertext,
+                            evks: dict[int, rlwe.EvalKey] | rlwe.EvalKey
+                            ) -> Ciphertext:
+        """EvalMultAndRelinearize: tensor product of ANY-degree inputs,
+        then full relinearization back to degree 1."""
+        return self.relinearize(self.mul_no_relin(a, b), evks)
 
     def rescale(self, a: Ciphertext) -> Ciphertext:
         """ModReduce: drop the last composite_degree limbs, divide the

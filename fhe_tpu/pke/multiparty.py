@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..lattice import rns
-from ..lattice.rns import RnsPoly, EVAL
+from ..lattice.rns import RnsPoly, COEFF, EVAL
 from . import rlwe
 
 MP_SD = 1048576.0   # NoiseFlooding::MP_SD (utils/noise_flooding.h): 2^20
@@ -123,6 +123,203 @@ def fuse(shares: list[PartialDecryption]) -> RnsPoly:
     for s in shares[1:]:
         acc = rns.add(acc, s.share)
     return rns.to_coeff(acc)
+
+
+# ---------------------------------------------------------------------------
+# Joint evaluation-key generation (threshold eval keys):
+# base-multiparty.cpp MultiKeySwitchGen / MultiMultEvalKey and the
+# cryptocontext.h MultiAdd* aggregators.  All shares ride the SAME uniform
+# `a` digits (passed through evk_gen's a_common), so the b components sum
+# into a key for the joint secret s = sum_i s_i:
+#
+#   relin key (threshold-fhe.cpp round structure):
+#     party 1: evk1 = evk_gen(s_1, sk_1)                  (s_1 -> s_1)
+#     party 2: evk2 = multi_key_switch_gen(s_2, sk_2, evk1)
+#     evkAB   = multi_add_eval_keys(evk1, evk2)           (s -> s)
+#     party i: evk_i* = multi_mult_eval_key(evkAB, sk_i)  (s_i * evkAB)
+#     rlk     = multi_add_eval_mult_keys(evk1*, evk2*)    (s^2 -> s)
+#
+#   rotation/sum keys: each party adds -a_d s_i + P qhat sigma_k(s_i);
+#   sigma_k is linear so the shares sum to a key for sigma_k(s) -> s.
+# ---------------------------------------------------------------------------
+
+
+def multi_key_switch_gen(params, s_old_share: RnsPoly, sk_share,
+                         prior_evk: rlwe.EvalKey,
+                         rng: np.random.Generator) -> rlwe.EvalKey:
+    """MultiKeySwitchGen (base-multiparty.cpp): this party's switching-key
+    share over the SAME `a` digits as prior_evk."""
+    return rlwe.evk_gen(params, s_old_share, sk_share, rng,
+                        a_common=prior_evk.a)
+
+
+def _evk_add_b(k1: rlwe.EvalKey, k2: rlwe.EvalKey) -> jax.Array:
+    qp = k1.moduli_qp
+    b = rns.add(RnsPoly(k1.b, qp, EVAL), RnsPoly(k2.b, qp, EVAL))
+    return b.data
+
+
+def multi_add_eval_keys(k1: rlwe.EvalKey, k2: rlwe.EvalKey) -> rlwe.EvalKey:
+    """MultiAddEvalKeys: sum the b shares; `a` digits are common."""
+    assert k1.moduli_qp == k2.moduli_qp
+    return rlwe.EvalKey(b=_evk_add_b(k1, k2), a=k1.a,
+                        moduli_qp=k1.moduli_qp, num_per_part=k1.num_per_part)
+
+
+def multi_mult_eval_key(params, evk: rlwe.EvalKey, sk_share,
+                        rng: np.random.Generator) -> rlwe.EvalKey:
+    """MultiMultEvalKey: this party's (s_i * b_d + e0, s_i * a_d + e1)
+    share — summed over parties it turns an (s -> s) key into the
+    (s^2 -> s) relinearization key."""
+    qp = evk.moduli_qp
+    N = params.N
+    s = sk_share.eval_poly(qp)
+    n_digits = evk.b.shape[0]
+    bs, as_ = [], []
+    for d in range(n_digits):
+        e0 = rns.to_eval(rlwe.signed_to_rns(
+            rlwe.sample_gauss(rng, N, params.std_dev), qp))
+        e1 = rns.to_eval(rlwe.signed_to_rns(
+            rlwe.sample_gauss(rng, N, params.std_dev), qp))
+        b = rns.add(rns.mul(RnsPoly(evk.b[d], qp, EVAL), s), e0)
+        a = rns.add(rns.mul(RnsPoly(evk.a[d], qp, EVAL), s), e1)
+        bs.append(b.data)
+        as_.append(a.data)
+    return rlwe.EvalKey(b=jnp.stack(bs), a=jnp.stack(as_), moduli_qp=qp,
+                        num_per_part=evk.num_per_part)
+
+
+def multi_add_eval_mult_keys(k1: rlwe.EvalKey,
+                             k2: rlwe.EvalKey) -> rlwe.EvalKey:
+    """MultiAddEvalMultKeys: sum BOTH components (each party's
+    multi_mult_eval_key share randomizes b and a)."""
+    assert k1.moduli_qp == k2.moduli_qp
+    qp = k1.moduli_qp
+    a = rns.add(RnsPoly(k1.a, qp, EVAL), RnsPoly(k2.a, qp, EVAL))
+    return rlwe.EvalKey(b=_evk_add_b(k1, k2), a=a.data,
+                        moduli_qp=qp, num_per_part=k1.num_per_part)
+
+
+def multi_add_pub_keys(pk1: rlwe.PublicKey,
+                       pk2: rlwe.PublicKey) -> rlwe.PublicKey:
+    """MultiAddPubKeys: joint public key from shares under a common `a`."""
+    return rlwe.PublicKey(b=rns.add(pk1.b, pk2.b), a=pk1.a)
+
+
+def multi_eval_automorphism_key_gen(params, sk_share,
+                                    prior_keys: dict,
+                                    galois_elts: dict,
+                                    rng: np.random.Generator) -> dict:
+    """MultiEvalAutomorphismKeyGen / MultiEvalAtIndexKeyGen /
+    MultiEvalSumKeyGen: this party's automorphism-key shares over the
+    SAME `a` digits as the prior party's key map.
+
+    galois_elts: map index -> galois element k (the caller decides the
+    5^r slot convention or the sum-tree powers)."""
+    mods = tuple(params.moduli)
+    s = sk_share.eval_poly(mods)
+    out = {}
+    for idx, k in galois_elts.items():
+        s_k = rns.automorphism(s, k)
+        out[idx] = rlwe.evk_gen(params, s_k, sk_share, rng,
+                                a_common=prior_keys[idx].a)
+    return out
+
+
+def multi_add_eval_automorphism_keys(m1: dict, m2: dict) -> dict:
+    """MultiAddEvalAutomorphismKeys / MultiAddEvalSumKeys."""
+    assert m1.keys() == m2.keys()
+    return {k: multi_add_eval_keys(m1[k], m2[k]) for k in m1}
+
+
+# ---------------------------------------------------------------------------
+# 2-party interactive bootstrapping (IntBoot*, cryptocontext.h:3422-3468;
+# rns-multiparty.cpp IntBootDecrypt :373, IntBootEncrypt :405,
+# IntBootAdd :483, PolynomialRound :241; flow per
+# examples/interactive-bootstrapping.cpp:115-135):
+#
+#   ct = int_boot_adjust_scale(ct, extra_limbs=0)   # 2 towers, Qc = q0*q1
+#   server: h1 = int_boot_decrypt(params, sk1, ct.c0, ct.c1)  # rnd(c0+c1*s1)
+#   client: h2 = int_boot_decrypt(params, sk2, ct.c1)         # rnd(c1*s2)
+#   client: ct' = int_boot_encrypt(params, joint_pk, h2, ct)  # Enc_Q(lift h2)
+#   server: out = int_boot_add(params, ct', h1)               # + lift h1
+#
+# Correctness of the lift: h1 + h2 = m + e (mod Qc) is TINY, so
+# h2 = -h1 + small: their mod-Qc representatives sit in mirrored
+# quadrants and PolynomialRound's conditional +Qc/2 (applied when the
+# CRT-interpolated value lies in (Qc/4, 3Qc/4]) fires on BOTH shares or
+# NEITHER (w.h.p.).  After rounding both centered representatives lie in
+# (-Qc/4, Qc/4], so the sum of centered lifts over Z equals m + e
+# EXACTLY — no q*I wrap survives at the big modulus Q.
+# ---------------------------------------------------------------------------
+
+
+def _polynomial_round(p: RnsPoly) -> RnsPoly:
+    """PolynomialRound (rns-multiparty.cpp:241): for a 2-limb COEFF poly,
+    add Qc/2 to coefficients whose CRT value lies in (Qc/4, 3Qc/4].
+
+    Garner digit y = (x1 - x0) * q0^{-1} mod q1 gives x = x0 + q0*y;
+    compare (y, x0) lexicographically against the mixed-radix digits of
+    Qc/4 and 3Qc/4.  Host numpy int64 (products < 2^62 are exact there;
+    the repo runs JAX without x64, and this is once-per-protocol code on
+    one small polynomial, not a hot kernel)."""
+    assert len(p.moduli) == 2 and p.fmt == COEFF
+    q0, q1 = (int(q) for q in p.moduli)
+    Qc = q0 * q1
+    q0_inv_mod_q1 = pow(q0, -1, q1)
+    lo_d, lo_r = (Qc // 4) // q0, (Qc // 4) % q0
+    hi_d, hi_r = (3 * Qc // 4) // q0, (3 * Qc // 4) % q0
+    data = np.asarray(p.data)
+    x0 = data[..., 0, :].astype(np.int64)
+    x1 = data[..., 1, :].astype(np.int64)
+    # (x1-x0) mod q1 < 2^31 and q0_inv < 2^31: the product fits in int64
+    # only after a first reduction, so reduce in two steps
+    d = (x1 - x0) % q1
+    y = d * (q0_inv_mod_q1 % (1 << 31)) % q1 if q0_inv_mod_q1 < (1 << 31) \
+        else (d * q0_inv_mod_q1) % q1
+    gt_lo = (y > lo_d) | ((y == lo_d) & (x0 > lo_r))
+    le_hi = (y < hi_d) | ((y == hi_d) & (x0 <= hi_r))
+    shift = gt_lo & le_hi
+    h0 = (Qc // 2) % q0
+    h1 = (Qc // 2) % q1
+    n0 = np.where(shift, (x0 + h0) % q0, x0)
+    n1 = np.where(shift, (x1 + h1) % q1, x1)
+    return RnsPoly(jnp.asarray(np.stack([n0, n1], axis=-2)
+                               .astype(np.uint32)), p.moduli, COEFF)
+
+
+def int_boot_decrypt(params, sk: rlwe.SecretKey, c0: RnsPoly,
+                     c1: RnsPoly | None = None) -> RnsPoly:
+    """IntBootDecrypt: masked decryption share rnd(c0 + c1*s) — or, for the
+    client's 1-poly slice, rnd(c0*s) (rns-multiparty.cpp:373-404).
+    Returns a rounded COEFF poly over the compressed 2-limb basis."""
+    s = sk.eval_poly(c0.moduli)
+    if c1 is None:
+        cs = rns.mul(c0, s)
+    else:
+        cs = rns.add(rns.mul(c1, s), c0)
+    return _polynomial_round(rns.to_coeff(cs))
+
+
+def int_boot_encrypt(params, pk: rlwe.PublicKey, h: RnsPoly, ct_low,
+                     rng: np.random.Generator):
+    """IntBootEncrypt: centered-lift the rounded share to the full basis
+    and encrypt it under the (joint) public key at level 0
+    (rns-multiparty.cpp:405-480)."""
+    from .ckks import Ciphertext
+    full_mods = tuple(params.moduli)
+    m_full = rns.to_eval(_centered_lift(h, full_mods))
+    c0, c1 = rlwe.encrypt_pk(params, pk, m_full, rng)
+    return Ciphertext(c0, c1, ct_low.scale)
+
+
+def int_boot_add(params, ct_full, h: RnsPoly):
+    """IntBootAdd: centered-lift the server's rounded share and add it to
+    the refreshed ciphertext's c0 (rns-multiparty.cpp:483-506)."""
+    from .ckks import Ciphertext
+    full_mods = tuple(params.moduli)
+    h_full = rns.to_eval(_centered_lift(h, full_mods))
+    return Ciphertext(rns.add(ct_full.c0, h_full), ct_full.c1, ct_full.scale)
 
 
 # ---------------------------------------------------------------------------

@@ -154,11 +154,17 @@ def _p_mod_q(p_mods: tuple, q_mods: tuple) -> np.ndarray:
 
 
 def evk_gen(params, s_old: RnsPoly, sk_new: SecretKey,
-            rng: np.random.Generator, noise_scale: int = 1) -> EvalKey:
+            rng: np.random.Generator, noise_scale: int = 1,
+            a_common: jax.Array | None = None) -> EvalKey:
     """Switching key s_old -> sk_new (keyswitch-hybrid.cpp:48-137).
 
     s_old: EVAL poly over the full Q chain (e.g. s^2 for relin, s(X^k) for
-    rotations)."""
+    rotations).
+
+    a_common: optional [dnum, L_qp, N] stack of `a` digits to reuse instead
+    of sampling fresh ones — the multiparty joint-evalkey protocol
+    (base-multiparty.cpp MultiKeySwitchGen) requires every party's share
+    to ride the SAME uniform digits so the b components sum."""
     q_mods = tuple(params.moduli)
     p_mods = tuple(params.special_mods)
     qp = q_mods + p_mods
@@ -171,7 +177,10 @@ def evk_gen(params, s_old: RnsPoly, sk_new: SecretKey,
 
     bs, as_ = [], []
     for d in range(n_digits):
-        a = uniform_poly(rng, qp, N)
+        if a_common is not None:
+            a = RnsPoly(a_common[d], qp, EVAL)
+        else:
+            a = uniform_poly(rng, qp, N)
         e = rns.to_eval(signed_to_rns(
             noise_scale * sample_gauss(rng, N, params.std_dev), qp))
         b = rns.add(rns.neg(rns.mul(a, s_new)), e)

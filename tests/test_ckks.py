@@ -120,3 +120,37 @@ def test_conjugate(ctx, keys, rng):
     ct = ctx.encrypt(pk, z, rng)
     got = ctx.decrypt(sk, ctx.conjugate(ct, ck))
     np.testing.assert_allclose(got, np.conj(z), atol=1e-3)
+
+
+def test_degree3_mult_keys_relinearize(rng):
+    """EvalMultKeysGen + EvalMultNoRelin chain to degree 3 +
+    EvalMultAndRelinearize (cryptocontext.h:1099,2050): a cubic product
+    carried as a 4-component ciphertext relinearizes back to degree 1
+    with the s^2/s^3 keys and decrypts to z1*z2*z3."""
+    ctx = ckks.CkksContext.create(N=N, num_levels=4, scale_bits=18,
+                                  dnum=2, first_bits=30)
+    sk, pk = ctx.keygen(rng)
+    evks = ctx.relin_keys_gen(sk, rng, max_degree=3)
+    zs = [rng.normal(size=N // 2) * 0.8 for _ in range(3)]
+    cts = [ctx.encrypt(pk, z, rng) for z in zs]
+
+    deg2 = ctx.mul_no_relin(cts[0], cts[1])
+    assert deg2.c2 is not None and not deg2.c_rest
+    # decrypt of the un-relinearized degree-2 ciphertext works directly
+    got2 = ctx.decrypt(sk, deg2)
+    np.testing.assert_allclose(got2.real, zs[0] * zs[1], atol=5e-2)
+
+    deg3 = ctx.mul_no_relin(deg2, cts[2])
+    assert len(deg3.components()) == 4
+    got3 = ctx.decrypt(sk, deg3)
+    np.testing.assert_allclose(got3.real, zs[0] * zs[1] * zs[2], atol=0.3)
+
+    lin = ctx.relinearize(deg3, evks)
+    assert lin.c2 is None and not lin.c_rest
+    got = ctx.decrypt(sk, lin)
+    np.testing.assert_allclose(got.real, zs[0] * zs[1] * zs[2], atol=0.3)
+
+    # mul_and_relinearize = the fused form
+    fused = ctx.mul_and_relinearize(deg2, cts[2], evks)
+    gotf = ctx.decrypt(sk, fused)
+    np.testing.assert_allclose(gotf.real, zs[0] * zs[1] * zs[2], atol=0.3)
