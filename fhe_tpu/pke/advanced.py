@@ -286,6 +286,59 @@ def eval_poly(ctx: CkksContext, ct: Ciphertext, coeffs,
     return acc
 
 
+def eval_poly_linear(ctx: CkksContext, ct: Ciphertext, coeffs,
+                     evk: rlwe.EvalKey) -> Ciphertext:
+    """EvalPolyLinear (cryptocontext.h): explicit name for the linear
+    power-chain evaluator."""
+    return eval_poly(ctx, ct, coeffs, evk)
+
+
+def eval_poly_ps(ctx: CkksContext, ct: Ciphertext, coeffs,
+                 evk: rlwe.EvalKey) -> Ciphertext:
+    """EvalPolyPS (cryptocontext.h / ckksrns-advancedshe.cpp): power-basis
+    polynomial at Paterson-Stockmeyer depth.  The monomial coefficients
+    are converted EXACTLY to the Chebyshev basis on [-1, 1]
+    (poly2cheb is a linear change of basis) and evaluated with the PS
+    Chebyshev machinery — O(sqrt(deg)) nonscalar mults, O(log deg)
+    depth, same result as the linear chain up to noise."""
+    cheb = np.polynomial.chebyshev.poly2cheb(
+        np.asarray([complex(c) for c in coeffs]))
+    return eval_chebyshev_series_ps(ctx, ct, list(cheb), -1.0, 1.0, evk)
+
+
+def eval_powers(ctx: CkksContext, ct: Ciphertext, degree: int,
+                evk: rlwe.EvalKey) -> list[Ciphertext]:
+    """EvalPowers (cryptocontext.h): [x, x^2, ..., x^degree] with x^2k
+    built by squaring (log-depth) and odd powers by one multiply."""
+    powers: list[Ciphertext | None] = [None] * (degree + 1)
+    powers[1] = ct
+    for k in range(2, degree + 1):
+        if k % 2 == 0:
+            powers[k] = ctx.rescale(ctx.square(powers[k // 2], evk))
+        else:
+            powers[k] = mul_aligned(ctx, powers[k - 1], ct, evk)
+    return powers[1:]
+
+
+def eval_poly_with_precomp(ctx: CkksContext, powers: list[Ciphertext],
+                           coeffs, evk: rlwe.EvalKey) -> Ciphertext:
+    """EvalPolyWithPrecomp: sum_k c_k x^k over powers from eval_powers
+    (powers[k-1] = x^k)."""
+    coeffs = [complex(c) for c in coeffs]
+    acc = None
+    for k, c in enumerate(coeffs[1:], start=1):
+        if abs(c) < 1e-12:
+            continue
+        term = ctx.rescale(ctx.mul_plain(
+            powers[k - 1], np.full(ctx.params.N // 2, c)))
+        acc = term if acc is None else add_aligned(ctx, acc, term)
+    if acc is None:
+        raise ValueError("constant-only polynomial")
+    if abs(coeffs[0]) > 1e-12:
+        acc = ctx.add_plain(acc, np.full(ctx.params.N // 2, coeffs[0]))
+    return acc
+
+
 def eval_chebyshev_series(ctx: CkksContext, ct: Ciphertext, coeffs,
                           a: float, b: float,
                           evk: rlwe.EvalKey) -> Ciphertext:

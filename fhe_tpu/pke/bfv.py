@@ -238,6 +238,11 @@ class BfvContext:
         k0, k1 = rlwe.key_switch(self.params, evk, e2)
         return Ciphertext(rns.add(e0, k0), rns.add(e1, k1))
 
+    def square(self, a: Ciphertext, evk: rlwe.EvalKey | None = None,
+               technique: str = "hps") -> Ciphertext:
+        """EvalSquare (cryptocontext.h:1979)."""
+        return self.mul(a, a, evk, technique)
+
     def rotate(self, a: Ciphertext, r: int, rot_keys: dict) -> Ciphertext:
         N = self.params.N
         k = pow(5, r % (2 * N), 2 * N)

@@ -184,6 +184,11 @@ class BgvContext:
         k0, k1 = rlwe.key_switch(self.params, evk, d2)
         return Ciphertext(rns.add(d0, k0), rns.add(d1, k1), pt_scale=sf)
 
+    def square(self, a: Ciphertext,
+               evk: rlwe.EvalKey | None = None) -> Ciphertext:
+        """EvalSquare (cryptocontext.h:1979)."""
+        return self.mul(a, a, evk)
+
     def rotate(self, a: Ciphertext, r: int, rot_keys: dict) -> Ciphertext:
         N = self.params.N
         k = pow(5, r % (2 * N), 2 * N)

@@ -183,9 +183,15 @@ def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
     n = M.shape[0]
     b = -(-n // g)
     idx = np.arange(n)
-    # cache baby rotations, hoisting the decompose+ModUp of ct once
+    # cache baby rotations, hoisting the decompose+ModUp of ct once;
+    # babies live over the EXTENDED basis QP (EvalFastRotationExt) so the
+    # inner sums accumulate WITHOUT per-rotation ModDowns — one
+    # KeySwitchDown per giant step (the ckksrns-fhe.cpp CoeffsToSlots
+    # EvalMultExt/EvalFastRotationExt pattern)
     hoist = ctx.fast_rotation_precompute(ct) if g > 1 else None
-    babies = {0: ct}
+    ext_mods = ct.moduli + tuple(ctx.params.special_mods)
+    pt_scale = _mul_plain_scale(ctx, ct)
+    babies = {}
     out = None
     for j in range(b):
         inner = None
@@ -197,15 +203,39 @@ def bsgs_linear_transform(ctx: CkksContext, ct: Ciphertext, M: np.ndarray,
             if tol and np.max(np.abs(diag)) <= tol:
                 continue
             if i not in babies:
-                babies[i] = ctx.fast_rotation(ct, i, rot_keys, hoist)
-            term = ctx.mul_plain(babies[i], np.roll(diag, j * g))
+                babies[i] = ctx.fast_rotation_ext(ct, i, rot_keys, hoist)
+            term = _mul_plain_raw(ctx, babies[i], np.roll(diag, j * g),
+                                  ext_mods, pt_scale)
             inner = term if inner is None else ctx.add(inner, term)
         if inner is None:
             continue
+        inner = ctx.key_switch_down(inner)
         if j > 0:
             inner = ctx.rotate(inner, j * g, rot_keys)
         out = inner if out is None else ctx.add(out, inner)
     return ctx.rescale(out)
+
+
+def _mul_plain_scale(ctx: CkksContext, ct: Ciphertext) -> float:
+    """The FLEXIBLEAUTO plaintext encode scale mul_plain would pick
+    (lands the post-rescale product on the level-target scale)."""
+    L = len(ct.moduli)
+    if L - ctx.cd >= ctx.cd:
+        q_block = 1.0
+        for q in ct.moduli[-ctx.cd:]:
+            q_block *= float(q)
+        return ctx.level_scale(L - ctx.cd) * q_block / ct.scale
+    return ctx.scale
+
+
+def _mul_plain_raw(ctx: CkksContext, ct: Ciphertext, z, mods: tuple,
+                   pt_scale: float, slots: int | None = None) -> Ciphertext:
+    """mul_plain against a ciphertext over an arbitrary (e.g. extended
+    QP) basis: encode at the given scale over `mods` and multiply."""
+    m = encode(z, ctx.params.N, pt_scale, slots=slots)
+    mp = rns.to_eval(rlwe.signed_to_rns(m, mods))
+    return Ciphertext(rns.mul(ct.c0, mp), rns.mul(ct.c1, mp),
+                      ct.scale * pt_scale)
 
 
 def bsgs_rect_transform(ctx: CkksContext, ct: Ciphertext, A: np.ndarray,
@@ -226,7 +256,9 @@ def bsgs_rect_transform(ctx: CkksContext, ct: Ciphertext, A: np.ndarray,
     b = -(-s // g)
     kk = np.arange(L)
     hoist = ctx.fast_rotation_precompute(ct) if g > 1 else None
-    babies = {0: ct}
+    ext_mods = ct.moduli + tuple(ctx.params.special_mods)
+    pt_scale = _mul_plain_scale(ctx, ct)
+    babies = {}
     out = None
     for j in range(b):
         inner = None
@@ -236,11 +268,13 @@ def bsgs_rect_transform(ctx: CkksContext, ct: Ciphertext, A: np.ndarray,
                 break
             diag = A[kk % R, (kk + idx) % C]
             if i not in babies:
-                babies[i] = ctx.fast_rotation(ct, i, rot_keys, hoist)
-            term = ctx.mul_plain(babies[i], np.roll(diag, j * g), slots=L)
+                babies[i] = ctx.fast_rotation_ext(ct, i, rot_keys, hoist)
+            term = _mul_plain_raw(ctx, babies[i], np.roll(diag, j * g),
+                                  ext_mods, pt_scale, slots=L)
             inner = term if inner is None else ctx.add(inner, term)
         if inner is None:
             continue
+        inner = ctx.key_switch_down(inner)
         if j > 0:
             inner = ctx.rotate(inner, j * g, rot_keys)
         out = inner if out is None else ctx.add(out, inner)

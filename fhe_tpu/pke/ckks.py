@@ -423,6 +423,69 @@ class CkksContext:
         c0 = rns.automorphism(a.c0, k)
         return Ciphertext(rns.add(c0, d0), d1, a.scale)
 
+    def key_switch_ext(self, a: Ciphertext,
+                       add_first: bool = True) -> Ciphertext:
+        """KeySwitchExt (cryptocontext.h): represent P*ct over the
+        extended basis Q_l + P so it can be ADDED to extended
+        fast_rotation_ext partial sums.  add_first=False extends only c1
+        (the c0 term is carried separately by the caller)."""
+        c1 = rlwe.key_switch_ext_poly(self.params, a.c1)
+        if add_first:
+            c0 = rlwe.key_switch_ext_poly(self.params, a.c0)
+        else:
+            ext_mods = c1.moduli
+            c0 = RnsPoly(jnp.zeros_like(c1.data), ext_mods, c1.fmt)
+        return Ciphertext(c0, c1, a.scale)
+
+    def key_switch_down(self, a: Ciphertext) -> Ciphertext:
+        """KeySwitchDown: ModDown an extended (QP) ciphertext back to Q_l,
+        dividing out the implicit P factor."""
+        return Ciphertext(rlwe.key_switch_down_poly(self.params, a.c0),
+                          rlwe.key_switch_down_poly(self.params, a.c1),
+                          a.scale)
+
+    def fast_rotation_ext(self, a: Ciphertext, r: int,
+                          rot_keys: dict[int, rlwe.EvalKey],
+                          precomp: list,
+                          add_first: bool = True) -> Ciphertext:
+        """EvalFastRotationExt (cryptocontext.h:2437; ckksrns-fhe.cpp uses
+        it inside CoeffsToSlots): like fast_rotation but WITHOUT the final
+        ModDown — the result lives over Q_l + P carrying a factor P.
+        Sums of many such rotations (a BSGS inner loop) pay ONE ModDown
+        via key_switch_down instead of one per rotation.
+
+        add_first: include P*sigma_k(c0) in the extended c0 (pass False
+        when the caller accumulates the c0 terms separately over Q)."""
+        if r == 0:
+            return self.key_switch_ext(a, add_first)
+        N = self.params.N
+        k = pow(5, r % (2 * N), 2 * N)
+        digs = [rns.automorphism(u, k) for u in precomp]
+        d0, d1 = rlwe.key_switch_inner(self.params, rot_keys[r], digs)
+        if add_first:
+            c0 = rlwe.key_switch_ext_poly(
+                self.params, rns.automorphism(a.c0, k))
+            d0 = rns.add(d0, c0)
+        return Ciphertext(d0, d1, a.scale)
+
+    def automorphism(self, a: Ciphertext, k: int,
+                     evk: rlwe.EvalKey) -> Ciphertext:
+        """EvalAutomorphism (cryptocontext.h:2278): raw galois map
+        X -> X^k with its switching key (rotate/conjugate are the 5^r and
+        2N-1 special cases)."""
+        c0 = rns.automorphism(a.c0, k)
+        c1 = rns.automorphism(a.c1, k)
+        d0, d1 = rlwe.key_switch(self.params, evk, c1)
+        return Ciphertext(rns.add(c0, d0), d1, a.scale)
+
+    def automorphism_key_gen(self, sk: rlwe.SecretKey, ks, rng
+                             ) -> dict[int, rlwe.EvalKey]:
+        """EvalAutomorphismKeyGen: keys for raw galois elements."""
+        mods = tuple(self.params.moduli)
+        s = sk.eval_poly(mods)
+        return {k: rlwe.evk_gen(self.params, rns.automorphism(s, k), sk,
+                                rng) for k in ks}
+
     def conjugate(self, a: Ciphertext, conj_key: rlwe.EvalKey) -> Ciphertext:
         N = self.params.N
         k = 2 * N - 1

@@ -228,13 +228,15 @@ def key_switch_precompute(params, c: RnsPoly) -> list[RnsPoly]:
     return ups
 
 
-def key_switch_apply(params, evk: EvalKey, ups: list[RnsPoly]
+def key_switch_inner(params, evk: EvalKey, ups: list[RnsPoly]
                      ) -> tuple[RnsPoly, RnsPoly]:
-    """Inner products with the switching key + ModDown
-    (EvalFastKeySwitchCore over precomputed digits)."""
+    """The inner-product half of EvalFastKeySwitchCore
+    (EvalFastKeySwitchCoreExt, keyswitch-hybrid.cpp): digit sums against
+    the switching key, returned over the EXTENDED basis Q_l + P (the
+    result carries an implicit factor P).  Partial sums of many key
+    switches (e.g. the BSGS inner loop of bootstrapping) can be
+    accumulated here and ModDown'd ONCE via key_switch_down."""
     ext_mods = ups[0].moduli
-    p_mods = tuple(params.special_mods)
-    q_mods = ext_mods[:len(ext_mods) - len(p_mods)]
     d0 = None
     d1 = None
     for d, up in enumerate(ups):
@@ -246,13 +248,41 @@ def key_switch_apply(params, evk: EvalKey, ups: list[RnsPoly]
         t1 = rns.mul(up, RnsPoly(ad, ext_mods, EVAL))
         d0 = t0 if d0 is None else rns.add(d0, t0)
         d1 = t1 if d1 is None else rns.add(d1, t1)
-    # ModDown by P (t-corrected for BGV so noise stays divisible by t)
+    return d0, d1
+
+
+def key_switch_down_poly(params, c: RnsPoly) -> RnsPoly:
+    """KeySwitchDown for one component: ModDown by P (divide out the
+    implicit P factor of key_switch_inner results)."""
+    p_mods = tuple(params.special_mods)
+    q_mods = c.moduli[:len(c.moduli) - len(p_mods)]
     t = params.plain_mod if params.scheme == "BGV" else None
-    d0c = rns.to_coeff(d0)
-    d1c = rns.to_coeff(d1)
-    r0 = rns.approx_mod_down(d0c, q_mods, p_mods, t)
-    r1 = rns.approx_mod_down(d1c, q_mods, p_mods, t)
-    return rns.to_eval(r0), rns.to_eval(r1)
+    return rns.to_eval(rns.approx_mod_down(rns.to_coeff(c), q_mods,
+                                           p_mods, t))
+
+
+def key_switch_ext_poly(params, c: RnsPoly) -> RnsPoly:
+    """KeySwitchExt for one component: represent P*c over the extended
+    basis Q_l + P.  (P*c) mod p_j = 0 and (P*c) mod q_i = (P mod q_i)*c_i,
+    so no basis conversion is needed — scale the Q limbs and zero-extend."""
+    p_mods = tuple(params.special_mods)
+    q_mods = c.moduli
+    ext_mods = q_mods + p_mods
+    pmodq = _p_mod_q(p_mods, q_mods)
+    scaled = rns.mul_scalar(c, jnp.asarray(pmodq))
+    zeros = jnp.zeros(c.data.shape[:-2] + (len(p_mods), c.data.shape[-1]),
+                      dtype=jnp.uint32)
+    data = jnp.concatenate([scaled.data, zeros], axis=-2)
+    return RnsPoly(data, ext_mods, c.fmt)
+
+
+def key_switch_apply(params, evk: EvalKey, ups: list[RnsPoly]
+                     ) -> tuple[RnsPoly, RnsPoly]:
+    """Inner products with the switching key + ModDown
+    (EvalFastKeySwitchCore over precomputed digits)."""
+    d0, d1 = key_switch_inner(params, evk, ups)
+    return (key_switch_down_poly(params, d0),
+            key_switch_down_poly(params, d1))
 
 
 def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:

@@ -80,6 +80,7 @@ class CkksToFhewKey:
     ksk: "tlwe.LweSwitchingKey | None"   # ring-key -> FHEW-key LWE switch
     bsgs_g: int
     slots: int
+    scale_cf: float = 1.0     # EvalCompareSwitchPrecompute extra factor
 
 
 def ckks_to_fhew_setup(ctx: CkksContext, sk: rlwe.SecretKey,
@@ -117,7 +118,7 @@ def eval_ckks_to_fhew(ctx: CkksContext, key: CkksToFhewKey, ct: Ciphertext,
     # grid: p_out = S_stc * alpha * z = (q_b / p) * z  (q_b = limb 0)
     q_b = int(ctx.params.moduli[0])
     s_out = ctx.level_scale(len(ct.moduli) - ctx.cd)
-    alpha = q_b / (p * s_out)
+    alpha = q_b / (p * s_out) * key.scale_cf
     out = bsgs_linear_transform(
         ctx, ct, _E_lo(N) * alpha, key.rot_keys, key.bsgs_g)
     # drop to the base limb: RLWE mod q_b
@@ -327,6 +328,108 @@ def eval_max_scheme_switching(ctx: CkksContext, key: CkksToFhewKey,
     """EvalMaxSchemeSwitching (:2094): the max-variant tournament."""
     return _tournament_select(ctx, key, k2, ct, tfhe_ctx, tfhe_key, evk,
                               rot_keys, num_values, p, want_min=False)
+
+
+def _tournament_select_alt(ctx: CkksContext, key: CkksToFhewKey,
+                           k2: FhewToCkksKey, ct: Ciphertext, tfhe_ctx,
+                           tfhe_key, evk: rlwe.EvalKey,
+                           rot_keys: dict, num_values: int, p: int,
+                           want_min: bool) -> tuple[Ciphertext, Ciphertext]:
+    """EvalMin/MaxSchemeSwitchingAlt (ckksrns-schemeswitching.cpp:2013-2174):
+    the full numValues-wide selector is assembled in the FHEW domain by
+    duplicating each sign bit and its NEGATION (EvalAddConstEq b += q/2
+    flips the +-q/4 encoding), so ONE FHEW->CKKS conversion of numValues
+    LWE ciphertexts replaces the non-Alt complement-and-rotate CKKS mask
+    expansion — more work in the (batched, TPU-friendly) conversion,
+    fewer CKKS rotations."""
+    from .advanced import mul_aligned
+    slots = ctx.params.N // 2
+    n_ind = np.zeros(slots)
+    n_ind[:num_values] = 1.0
+    c_ind = None
+    h = num_values // 2
+    while h >= 1:
+        rot_b = ctx.rotate(ct, h, rot_keys)
+        diff = ctx.sub(ct, rot_b)
+        lwe_cts = eval_ckks_to_fhew(ctx, key, diff, p=p, num_values=h,
+                                    fhew_params=tfhe_ctx.params,
+                                    keep_large_modulus=True)
+        lwe_sign = tfhe_ctx.eval_sign(tfhe_key, lwe_cts,
+                                      scheme_switch=True)
+        # duplicate sign / negated-sign across the num_values lanes:
+        # groups of h alternate [keep-first, keep-second] — the Alt
+        # LWESign[i*h + j] layout (:2054-2061)
+        a = np.asarray(lwe_sign.a, dtype=np.int64)     # [h, n]
+        b = np.asarray(lwe_sign.b, dtype=np.int64)     # [h]
+        q = int(lwe_sign.modulus)
+        b_neg = (b + q // 2) % q
+        reps = num_values // h
+        first, second = (b, b_neg) if want_min else (b_neg, b)
+        a_full = np.tile(a, (reps, 1))
+        b_full = np.concatenate([first if (i % 2 == 0) else second
+                                 for i in range(reps)])
+        sel_lwe = tlwe.LweCiphertext(
+            a=jnp.asarray(a_full.astype(np.uint32)),
+            b=jnp.asarray(b_full.astype(np.uint32)),
+            modulus=q, pt_mod=lwe_sign.pt_mod)
+        mask = eval_fhew_to_ckks(ctx, k2, sel_lwe, evk, p=4,
+                                 pmin=-1.0, pmax=1.0)
+        ct = mul_aligned(ctx, ct, mask, evk)
+        ct = ctx.add(ct, ctx.rotate(ct, h, rot_keys))
+        if c_ind is None:
+            c_ind = ctx.rescale(ctx.mul_plain(mask, n_ind))
+        else:
+            c_ind = mul_aligned(ctx, c_ind, mask, evk)
+        h //= 2
+    return ct, c_ind
+
+
+def eval_min_scheme_switching_alt(ctx: CkksContext, key: CkksToFhewKey,
+                                  k2: FhewToCkksKey, ct: Ciphertext,
+                                  tfhe_ctx, tfhe_key, evk: rlwe.EvalKey,
+                                  rot_keys: dict, num_values: int,
+                                  p: int = 8
+                                  ) -> tuple[Ciphertext, Ciphertext]:
+    """EvalMinSchemeSwitchingAlt (:2013)."""
+    return _tournament_select_alt(ctx, key, k2, ct, tfhe_ctx, tfhe_key,
+                                  evk, rot_keys, num_values, p,
+                                  want_min=True)
+
+
+def eval_max_scheme_switching_alt(ctx: CkksContext, key: CkksToFhewKey,
+                                  k2: FhewToCkksKey, ct: Ciphertext,
+                                  tfhe_ctx, tfhe_key, evk: rlwe.EvalKey,
+                                  rot_keys: dict, num_values: int,
+                                  p: int = 8
+                                  ) -> tuple[Ciphertext, Ciphertext]:
+    """EvalMaxSchemeSwitchingAlt (:2174)."""
+    return _tournament_select_alt(ctx, key, k2, ct, tfhe_ctx, tfhe_key,
+                                  evk, rot_keys, num_values, p,
+                                  want_min=False)
+
+
+def eval_compare_switch_precompute(key: CkksToFhewKey,
+                                   scale_sign: float = 1.0,
+                                   unit: bool = False) -> CkksToFhewKey:
+    """EvalCompareSwitchPrecompute (ckksrns-schemeswitching.cpp:1878):
+    fold an extra scaling of the comparison difference into the CKKS->FHEW
+    transform (the 1/pLWE part is already our alpha's /p; scale_sign
+    shrinks large-range differences into the sign bootstrap's clean
+    range).  unit=True means the messages are pre-scaled to [0,1), so
+    only scale_sign applies — identical contract, functional style:
+    returns a key with the factor set."""
+    return dataclasses.replace(key, scale_cf=float(scale_sign))
+
+
+def min_max_rotation_indices_alt(num_values: int) -> list[int]:
+    """Rotation-key indices the Alt tournament needs (only +h per round —
+    no mask-expansion rotations)."""
+    idx = set()
+    h = num_values // 2
+    while h >= 1:
+        idx.add(h)
+        h //= 2
+    return sorted(idx)
 
 
 def min_max_rotation_indices(num_values: int) -> list[int]:

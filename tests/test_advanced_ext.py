@@ -101,3 +101,61 @@ def test_eval_divide(setup):
     ct = ctx.encrypt(pk, z, rng)
     out = ctx.decrypt(sk, advanced.eval_divide(ctx, ct, 0.8, 3.2, 24, evk))
     np.testing.assert_allclose(out.real, 1.0 / z, atol=3e-2)
+
+
+@pytest.mark.slow
+def test_eval_poly_ps_and_precomp(rng):
+    """EvalPolyPS (exact poly2cheb change of basis onto the PS Chebyshev
+    evaluator) and EvalPowers/EvalPolyWithPrecomp match the linear chain."""
+    from fhe_tpu.pke.advanced import (eval_poly, eval_poly_ps, eval_powers,
+                                      eval_poly_with_precomp)
+    ctx = ckks.CkksContext.create(N=N, num_levels=8, scale_bits=26, dnum=2)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    z = rng.uniform(-1, 1, size=N // 2)
+    ct = ctx.encrypt(pk, z, rng)
+    coeffs = [0.5, -1.0, 0.25, 0.125, -0.0625]   # quartic
+    want = sum(c * z**k for k, c in enumerate(coeffs))
+
+    got_lin = ctx.decrypt(sk, eval_poly(ctx, ct, coeffs, evk)).real
+    np.testing.assert_allclose(got_lin, want, atol=2e-2)
+
+    got_ps = ctx.decrypt(sk, eval_poly_ps(ctx, ct, coeffs, evk)).real
+    np.testing.assert_allclose(got_ps, want, atol=2e-2)
+
+    pws = eval_powers(ctx, ct, 4, evk)
+    got_pc = ctx.decrypt(
+        sk, eval_poly_with_precomp(ctx, pws, coeffs, evk)).real
+    np.testing.assert_allclose(got_pc, want, atol=2e-2)
+
+
+def test_square_and_raw_automorphism(rng):
+    """EvalSquare on BGV/BFV facades + raw EvalAutomorphism(KeyGen) on
+    CKKS (galois element 5 = slot rotation by 1)."""
+    from fhe_tpu.pke import bgv, bfv
+    bctx = bgv.BgvContext.create(N=N, num_levels=2, plain_mod=65537,
+                                 mod_bits=28, dnum=2)
+    sk, pk = bctx.keygen(rng)
+    evk = bctx.relin_key_gen(sk, rng)
+    m = rng.integers(0, 100, size=N)
+    ct = bctx.encrypt(pk, m, rng)
+    got = bctx.decrypt(sk, bctx.square(ct, evk))
+    np.testing.assert_array_equal(got, (m * m) % 65537)
+
+    fctx = bfv.BfvContext.create(N=N, num_limbs=3, plain_mod=65537,
+                                 dnum=2)
+    fsk, fpk = fctx.keygen(rng)
+    fevk = fctx.relin_key_gen(fsk, rng)
+    fct = fctx.encrypt(fpk, m, rng)
+    fgot = fctx.decrypt(fsk, fctx.square(fct, fevk))
+    np.testing.assert_array_equal(fgot, (m * m) % 65537)
+
+    cctx = ckks.CkksContext.create(N=N, num_levels=3, scale_bits=28,
+                                   dnum=2)
+    csk, cpk = cctx.keygen(rng)
+    ak = cctx.automorphism_key_gen(csk, [5], rng)
+    z = rng.normal(size=N // 2)
+    cct = cctx.encrypt(cpk, z, rng)
+    rot = cctx.automorphism(cct, 5, ak[5])
+    got_c = cctx.decrypt(csk, rot).real
+    np.testing.assert_allclose(got_c, np.roll(z, -1), atol=1e-3)

@@ -154,3 +154,33 @@ def test_degree3_mult_keys_relinearize(rng):
     fused = ctx.mul_and_relinearize(deg2, cts[2], evks)
     gotf = ctx.decrypt(sk, fused)
     np.testing.assert_allclose(gotf.real, zs[0] * zs[1] * zs[2], atol=0.3)
+
+
+def test_fast_rotation_ext_keyswitch_down(rng):
+    """EvalFastRotationExt + KeySwitchDown (cryptocontext.h:2437): a sum
+    of extended rotations ModDown'd ONCE must match the sum of ordinary
+    fast rotations (within key-switch noise)."""
+    ctx = ckks.CkksContext.create(N=N, num_levels=4, scale_bits=28, dnum=2)
+    sk, pk = ctx.keygen(rng)
+    rots = [1, 2, 3]
+    rk = ctx.rotation_key_gen(sk, rots, rng)
+    z = rng.normal(size=N // 2)
+    ct = ctx.encrypt(pk, z, rng)
+    pre = ctx.fast_rotation_precompute(ct)
+
+    acc = None
+    for r in rots:
+        ext = ctx.fast_rotation_ext(ct, r, rk, pre, add_first=True)
+        acc = ext if acc is None else ctx.add(acc, ext)
+    got_ext = ctx.decrypt(sk, ctx.key_switch_down(acc))
+
+    want = sum(np.roll(z, -r) for r in rots)
+    np.testing.assert_allclose(got_ext.real, want, atol=1e-3)
+
+    # reference path: ordinary fast rotations summed over Q
+    acc_q = None
+    for r in rots:
+        rot = ctx.fast_rotation(ct, r, rk, pre)
+        acc_q = rot if acc_q is None else ctx.add(acc_q, rot)
+    got_q = ctx.decrypt(sk, acc_q)
+    np.testing.assert_allclose(got_ext.real, got_q.real, atol=1e-3)

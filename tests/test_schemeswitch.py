@@ -145,3 +145,49 @@ def test_min_max_scheme_switching(setup):
                                          evk, rot, num_values=2)
     got_max = ctx.decrypt(sk, mx).real[0]
     assert abs(got_max - 3.0) < 0.2, got_max
+
+
+@pytest.mark.slow
+def test_min_max_scheme_switching_alt(setup):
+    """EvalMin/MaxSchemeSwitchingAlt (ckksrns-schemeswitching.cpp:
+    2013/2174): the full selector assembled in the FHEW domain
+    (sign + q/2-negated duplicates), one FHEW->CKKS conversion per
+    round, no CKKS mask-expansion rotations."""
+    _ctx, _sk, _pk, _evk, _tctx, _tsk, rng = setup
+    ctx = ckks.CkksContext.create(N=N, num_levels=18, scale_bits=26,
+                                  dnum=2)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    tctx = BinFheContext.generate("TOY_RADIX")
+    tsk = tctx.key_gen(rng)
+    tkey = tctx.bt_key_gen(tsk, rng)
+    key = ss.ckks_to_fhew_setup(ctx, sk, tctx.params, tsk, rng)
+    k2 = ss.fhew_to_ckks_setup(ctx, sk, tsk, pk, rng)
+    rot = ctx.rotation_key_gen(
+        sk, ss.min_max_rotation_indices_alt(4), rng)
+
+    z = np.zeros(SLOTS)
+    z[:4] = [3.0, 1.0, 2.0, 4.0]
+    ct = ctx.encrypt(pk, z, rng)
+    mn, ind = ss.eval_min_scheme_switching_alt(
+        ctx, key, k2, ct, tctx, tkey, evk, rot, num_values=4)
+    got_min = ctx.decrypt(sk, mn).real[0]
+    assert abs(got_min - 1.0) < 0.2, got_min
+    got_ind = ctx.decrypt(sk, ind).real[:4]
+    assert np.argmax(got_ind) == 1 and got_ind[1] > 0.6, got_ind
+
+    z2 = np.zeros(SLOTS)
+    z2[:2] = [1.0, 3.0]
+    ct2 = ctx.encrypt(pk, z2, rng)
+    mx, _ = ss.eval_max_scheme_switching_alt(
+        ctx, key, k2, ct2, tctx, tkey, evk, rot, num_values=2)
+    got_max = ctx.decrypt(sk, mx).real[0]
+    assert abs(got_max - 3.0) < 0.2, got_max
+
+
+def test_compare_switch_precompute():
+    """EvalCompareSwitchPrecompute returns a key with the scale factor
+    folded in; the original key is untouched (functional contract)."""
+    base = ss.CkksToFhewKey(rot_keys={}, ksk=None, bsgs_g=1, slots=4)
+    scaled = ss.eval_compare_switch_precompute(base, scale_sign=0.25)
+    assert scaled.scale_cf == 0.25 and base.scale_cf == 1.0
