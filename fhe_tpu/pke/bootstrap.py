@@ -56,6 +56,9 @@ class BootstrapPrecom:
     E_lo: np.ndarray         # [n, n] (full) / [s, s] small embedding (sparse)
     rot_indices: list        # rotation keys needed (BSGS baby+giant)
     bsgs_g: int              # baby-step count
+    cts_levels: list | None = None   # level-budget>1: CoeffsToSlots diag
+    #                                  dicts (application order)
+    stc_levels: list | None = None   # SlotsToCoeffs diag dicts
 
 
 def _sine_cheb_coeffs(K: int, r: int, tol: float = 1e-9,
@@ -103,8 +106,168 @@ def _E_lo(N: int) -> np.ndarray:
     return np.exp(1j * np.pi * np.outer(2 * j + 1, k) / N)
 
 
+# ---------------------------------------------------------------------------
+# Level-budget > 1: collapsed special-FFT factorization
+# (EvalBootstrapSetup levelBudget, ckksrns-fhe.cpp:147-148 /
+# ckksrns-utils.cpp CoeffEncoding/DecodingOneLevel :434-516 +
+# Coeff*Collapse :518-698).  The half embedding E_lo[j,k] = ksi^{g_j k}
+# (ksi of order 4n, g_j = 5^j mod 4n) factors into log2(n) radix-2
+# butterfly stages, each a THREE-diagonal matrix at offsets {0, +-m/2};
+# consecutive stages are composed symbolically into `budget` grouped
+# matrices, each applied with one diagonal-sparse BSGS transform
+# (one level consumed per group instead of one level for the dense n-
+# diagonal matrix).  The DIT bit-reversal is never materialized: the
+# encode direction is the hermitian-transposed stage sequence, so
+# StC(sine(CtS(x))) sees the permutation cancel exactly.
+# ---------------------------------------------------------------------------
+
+def _diag_add(d: dict, o: int, v: np.ndarray) -> None:
+    o = o % len(v)
+    d[o] = d.get(o, 0) + v
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_stages(n: int) -> tuple:
+    """Radix-2 DIT butterfly stages of the special FFT: applying them in
+    order to a bit-reversed coefficient vector yields E_lo @ x.  Stage for
+    block size m: out[i+j] = in[i+j] + w_j*in[i+j+h], out[i+j+h] =
+    in[i+j] - w_j*in[i+j+h], with h = m/2 and twiddle
+    w_j = ksi^{(g_j mod 4m) * (4n/4m)} (the sub-transform's own rotGroup
+    ordering — verified E_lo-exact for all n)."""
+    g = np.zeros(n, dtype=np.int64)
+    cur = 1
+    for j in range(n):
+        g[j] = cur
+        cur = (cur * 5) % (4 * n)
+    ksi = np.exp(2j * np.pi / (4 * n))
+    stages = []
+    m = 2
+    while m <= n:
+        h = m // 2
+        lenq = 4 * m
+        d0 = np.zeros(n, dtype=complex)
+        dp = np.zeros(n, dtype=complex)
+        dm = np.zeros(n, dtype=complex)
+        w = ksi ** ((g[:h] % lenq) * (4 * n // lenq))
+        for i in range(0, n, m):
+            d0[i:i + h] = 1.0
+            dp[i:i + h] = w
+            d0[i + h:i + m] = -w
+            dm[i + h:i + m] = 1.0
+        d = {}
+        _diag_add(d, 0, d0)
+        _diag_add(d, h, dp)
+        _diag_add(d, -h, dm)
+        stages.append(d)
+        m <<= 1
+    return tuple(stages)
+
+
+def _herm_diags(d: dict, n: int) -> dict:
+    """Hermitian transpose in diagonal form: (M^H)_{-o}[j] =
+    conj(diag_o[(j-o) mod n])."""
+    out = {}
+    for o, v in d.items():
+        _diag_add(out, -o, np.conj(np.roll(v, o)))
+    return out
+
+
+def _compose_diags(A: dict, B: dict) -> dict:
+    """C = A·B (B applied first): C_{oa+ob} += A_{oa} * roll(B_{ob}, -oa)."""
+    out = {}
+    for oa, va in A.items():
+        for ob, vb in B.items():
+            _diag_add(out, oa + ob, va * np.roll(vb, -oa))
+    return out
+
+
+def _collapse(stages: list, budget: int) -> list:
+    """Group consecutive stages into `budget` matrices (application
+    order preserved).  The remainder goes to the LATER groups: a group of
+    k stages costs ~2^k diagonals regardless of position, and the later
+    (large-m) groups wrap mod n, merging offsets."""
+    L = len(stages)
+    budget = min(budget, L)
+    base, rem = divmod(L, budget)
+    sizes = [base + (1 if i >= budget - rem else 0) for i in range(budget)]
+    groups = []
+    k = 0
+    for sz in sizes:
+        g = stages[k]
+        for st in stages[k + 1:k + sz]:
+            g = _compose_diags(st, g)
+        groups.append(g)
+        k += sz
+    return groups
+
+
+def _budget_transforms(n: int, budget_enc: int, budget_dec: int,
+                       enc_scalar: complex) -> tuple[list, list]:
+    """(CoeffsToSlots level list, SlotsToCoeffs level list).
+
+    StC = the decode stages collapsed; CtS = hermitian stages in reverse
+    order collapsed, times enc_scalar distributed as a per-level root so
+    every level's plaintexts stay O(1) (the reference's scaleEnc
+    k-th-root splitting)."""
+    stages = list(_decode_stages(n))
+    stc = _collapse(stages, budget_dec)
+    herm = [_herm_diags(d, n) for d in reversed(stages)]
+    cts = _collapse(herm, budget_enc)
+    per = enc_scalar ** (1.0 / len(cts))
+    cts = [{o: v * per for o, v in lvl.items()} for lvl in cts]
+    return cts, stc
+
+
+def _diag_bsgs(diags: dict, n: int) -> tuple[int, list[int]]:
+    """BSGS split of a diagonal set: g ~ sqrt(#diags-spread); returns
+    (g, rotation indices needed)."""
+    offs = sorted(diags.keys())
+    g = max(1, 1 << (max(1, math.isqrt(len(offs))).bit_length()))
+    rots = set()
+    for o in offs:
+        i, j = o % g, o // g
+        if i:
+            rots.add(i)
+        if j:
+            rots.add(j * g)
+    return g, sorted(rots)
+
+
+def bsgs_diagonal_transform(ctx: CkksContext, ct: Ciphertext, diags: dict,
+                            rot_keys: dict, g: int) -> Ciphertext:
+    """Diagonal-sparse BSGS matrix-vector product: like
+    bsgs_linear_transform but touching ONLY the present offsets
+    (EvalCoeffsToSlots one level, ckksrns-fhe.cpp:1352-1460).  Extended-
+    basis accumulation, one KeySwitchDown per live giant step."""
+    n = ctx.params.N // 2
+    by_giant: dict[int, list] = {}
+    for o in diags:
+        by_giant.setdefault(o // g, []).append(o % g)
+    hoist = ctx.fast_rotation_precompute(ct)
+    ext_mods = ct.moduli + tuple(ctx.params.special_mods)
+    pt_scale = _mul_plain_scale(ctx, ct)
+    babies: dict[int, Ciphertext] = {}
+    out = None
+    for j in sorted(by_giant):
+        inner = None
+        for i in sorted(by_giant[j]):
+            o = j * g + i
+            if i not in babies:
+                babies[i] = ctx.fast_rotation_ext(ct, i, rot_keys, hoist)
+            term = _mul_plain_raw(ctx, babies[i],
+                                  np.roll(diags[o], j * g),
+                                  ext_mods, pt_scale)
+            inner = term if inner is None else ctx.add(inner, term)
+        inner = ctx.key_switch_down(inner)
+        if j:
+            inner = ctx.rotate(inner, j * g, rot_keys)
+        out = inner if out is None else ctx.add(out, inner)
+    return ctx.rescale(out)
+
+
 def setup(ctx: CkksContext, h: int, r: int = 3,
-          tol: float = 1e-9, slots: int | None = None) -> BootstrapPrecom:
+          tol: float = 1e-9, slots: int | None = None,
+          level_budget: tuple[int, int] = (1, 1)) -> BootstrapPrecom:
     """EvalBootstrapSetup: build LT matrices + sine approximation for a
     sparse-ternary secret of Hamming weight h.
 
@@ -112,7 +275,13 @@ def setup(ctx: CkksContext, h: int, r: int = 3,
     (ckksrns-fhe.cpp:703-790): the partial sum multiplies the message by
     d = N/(2s) and folds the q0-overflow integers of d automorphism
     images into each subring coefficient, so the sine range K grows by
-    ~sqrt(d) (random-walk heuristic on the folded I coefficients)."""
+    ~sqrt(d) (random-walk heuristic on the folded I coefficients).
+
+    level_budget=(enc, dec): levels to spend on CoeffsToSlots /
+    SlotsToCoeffs (EvalBootstrapSetup's levelBudget).  (1,1) applies the
+    dense E_lo matrices (n diagonals, cheapest in levels); budgets > 1
+    use the collapsed special-FFT factorization — ~budget * 2^(log2(n)/
+    budget) plaintext mults instead of n (full packing only)."""
     N = ctx.params.N
     n = N // 2
     s = slots or n
@@ -123,6 +292,24 @@ def setup(ctx: CkksContext, h: int, r: int = 3,
     if d > 1:
         K = int(math.ceil(K * math.sqrt(d)))
     coeffs = _sine_cheb_coeffs(K, r, tol)
+    if d == 1 and max(level_budget) > 1:
+        E = _E_lo(N)
+        cts, stc = _budget_transforms(n, level_budget[0], level_budget[1],
+                                      1.0 / (N * K))
+        rots: set = set()
+        cts_levels, stc_levels = [], []
+        for lvl in cts:
+            g, rr = _diag_bsgs(lvl, n)
+            cts_levels.append((lvl, g))
+            rots.update(rr)
+        for lvl in stc:
+            g, rr = _diag_bsgs(lvl, n)
+            stc_levels.append((lvl, g))
+            rots.update(rr)
+        return BootstrapPrecom(slots=s, K=K, r=r, cheb_coeffs=coeffs,
+                               E_lo=E, rot_indices=sorted(rots), bsgs_g=1,
+                               cts_levels=cts_levels,
+                               stc_levels=stc_levels)
     if d == 1:
         E = _E_lo(N)
         # sanity: sqrt(N/2)-unitarity of the half-embedding
@@ -457,9 +644,14 @@ def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
     # targeting absorbs the q0-vs-delta mismatch of the raised ciphertext,
     # so the output lands exactly on the level target scale (the reference
     # needs a correction factor here; float bookkeeping does not).
-    M1 = precom.E_lo.conj().T / (N * precom.K)
-    enc = bsgs_linear_transform(ctx, raised, M1, keys["rot"],
-                                precom.bsgs_g)
+    if precom.cts_levels is not None:
+        enc = raised
+        for diags, g in precom.cts_levels:
+            enc = bsgs_diagonal_transform(ctx, enc, diags, keys["rot"], g)
+    else:
+        M1 = precom.E_lo.conj().T / (N * precom.K)
+        enc = bsgs_linear_transform(ctx, raised, M1, keys["rot"],
+                                    precom.bsgs_g)
 
     enc_re, enc_im = _conjugate_split(ctx, enc, keys)
 
@@ -482,8 +674,13 @@ def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,
         rns.mul_monomial(s_im.c1, N // 2), s_im.scale))
 
     # ---- SlotsToCoeffs: M2 = E_lo
-    out = bsgs_linear_transform(ctx, y, precom.E_lo, keys["rot"],
-                                precom.bsgs_g)
+    if precom.stc_levels is not None:
+        out = y
+        for diags, g in precom.stc_levels:
+            out = bsgs_diagonal_transform(ctx, out, diags, keys["rot"], g)
+    else:
+        out = bsgs_linear_transform(ctx, y, precom.E_lo, keys["rot"],
+                                    precom.bsgs_g)
 
     # The slots now hold E*w/q0 where w = delta_in*z + e: relabel the scale
     # so the plaintext value is exactly z again (replaces the reference's

@@ -129,3 +129,27 @@ def test_iterative_bootstrap_improves_precision(boot_setup):
     assert e1 > 5e-6          # the coarse baseline is above the floor
     assert e2 < e1 / 4        # expect ~2^8 in theory; demand >= 4x
     assert len(two.moduli) >= 2 * ctx.cd
+
+
+@pytest.mark.slow
+def test_bootstrap_level_budget():
+    """level_budget=(2,2) (EvalBootstrapSetup levelBudget): the collapsed
+    special-FFT CoeffsToSlots/SlotsToCoeffs — 2 levels per transform,
+    ~2*sqrt(n) diagonals per level instead of the dense n — must bootstrap
+    to the same precision as the dense path."""
+    ctx = ckks.CkksContext.create(N=N, num_levels=15, scale_bits=52,
+                                  dnum=2, composite_degree=2)
+    rng = np.random.default_rng(77)
+    sk, pk = ctx.keygen(rng, h=H)
+    pre = bootstrap.setup(ctx, h=H, level_budget=(2, 2))
+    assert pre.cts_levels is not None and len(pre.cts_levels) == 2
+    keys = bootstrap.keygen(ctx, sk, pre, rng)
+    z = rng.uniform(-0.4, 0.4, size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    drop = len(ct.moduli) - ctx.cd
+    ct1 = ckks.Ciphertext(rns.level_reduce(ct.c0, drop),
+                          rns.level_reduce(ct.c1, drop), ct.scale)
+    out = bootstrap.eval_bootstrap(ctx, ct1, pre, keys)
+    assert len(out.moduli) >= 2 * ctx.cd
+    got = ctx.decrypt(sk, out).real
+    assert np.abs(got - z).max() < 1e-4
