@@ -206,11 +206,12 @@ def blind_rotate(params: TfheParams, bsk: jax.Array, acc: jax.Array,
     xs = ((bsk, idx_pos.T) if bsk_shoup is None
           else (bsk, bsk_shoup, idx_pos.T))
     import os
-    # unroll amortizes per-iteration scan overhead (+3% gates/s on TPU)
-    # but multiplies XLA COMPILE time; only worth it where compiles are
+    # unroll amortizes per-iteration scan overhead (swept on v5e:
+    # 1368/1415/1398 gates/s at unroll 4/8/16, B=2048 STD128) but
+    # multiplies XLA COMPILE time; only worth it where compiles are
     # cached across thousands of batched gates (the TPU), not on the
     # CPU test mesh where every test compiles a fresh pipeline.
-    default_unroll = "4" if jax.default_backend() == "tpu" else "1"
+    default_unroll = "8" if jax.default_backend() == "tpu" else "1"
     unroll = int(os.environ.get("FHE_SCAN_UNROLL", default_unroll))
     acc, _ = jax.lax.scan(step, acc, xs, unroll=unroll)
     return acc
