@@ -75,6 +75,12 @@ type PublicKey struct{ ptr *C.LuxFhePublicKey }
 type BootstrapKey struct{ ptr *C.LuxFheBootstrapKey }
 type Ciphertext struct{ ptr *C.LuxFheCiphertext }
 
+// Ptr exposes the raw C handle for cross-package composition (e.g. the
+// threshold package's KeyGen/Decrypt take these as unsafe.Pointer).
+func (c *Context) Ptr() unsafe.Pointer    { return unsafe.Pointer(c.ptr) }
+func (k *SecretKey) Ptr() unsafe.Pointer  { return unsafe.Pointer(k.ptr) }
+func (ct *Ciphertext) Ptr() unsafe.Pointer { return unsafe.Pointer(ct.ptr) }
+
 func ckErr(rc C.int) error {
 	if rc == 0 {
 		return nil

@@ -407,4 +407,232 @@ LuxFheError lux_fhe_secretkey_unmarshal(const uint8_t* data, int64_t len,
 
 void lux_fhe_bytes_free(uint8_t* data) { free(data); }
 
+// ---- Threshold ABI ----------------------------------------------------------
+// Reference go/threshold/threshold.go is a stub ("TODO: Implement threshold
+// FHE bindings"); this ABI wires the real t-of-n pipeline
+// (fhe_tpu/tfhe/threshold.py: Shamir/Feldman shares, sigma proofs,
+// Lagrange combine) behind flat C calls.
+
+typedef struct { int64_t id; } LuxFheThresholdShares;
+
+LuxFheError lux_fhe_threshold_keygen(LuxFheContext* ctx,
+                                     LuxFheSecretKey* sk, int threshold,
+                                     int parties, const char* scheme,
+                                     LuxFheThresholdShares** out) {
+    if (!ctx || !sk || !out) return LUX_FHE_ERR_NULL_PTR;
+    int64_t id = call_i64("threshold_keygen", "LLiis", (long long)ctx->id,
+                          (long long)sk->id, threshold, parties,
+                          scheme ? scheme : "additive");
+    if (id < 0) return LUX_FHE_ERR_KEYGEN;
+    *out = new (std::nothrow) LuxFheThresholdShares{id};
+    return *out ? LUX_FHE_OK : LUX_FHE_ERR_ALLOC;
+}
+
+void lux_fhe_threshold_free(LuxFheThresholdShares* sh) {
+    if (!sh) return;
+    call_i64("threshold_free", "L", (long long)sh->id);
+    delete sh;
+}
+
+int lux_fhe_threshold_parties(LuxFheThresholdShares* sh) {
+    return sh ? (int)call_i64("threshold_parties", "L", (long long)sh->id)
+              : -1;
+}
+
+// party_ids: 1-indexed parties participating in this decryption.
+LuxFheError lux_fhe_threshold_decrypt(LuxFheContext* ctx,
+                                      LuxFheThresholdShares* sh,
+                                      LuxFheCiphertext* ct,
+                                      const int32_t* party_ids, int count,
+                                      int* plaintext) {
+    if (!ctx || !sh || !ct || !party_ids || !plaintext || count <= 0)
+        return LUX_FHE_ERR_NULL_PTR;
+    PyGILState_STATE st;
+    PyObject* mod = impl_acquire(&st);
+    if (!mod) return LUX_FHE_ERR_NOT_INIT;
+    PyObject* ret = PyObject_CallMethod(
+        mod, "threshold_decrypt", "LLLy#", (long long)ctx->id,
+        (long long)sh->id, (long long)ct->id, (const char*)party_ids,
+        (Py_ssize_t)(count * (int)sizeof(int32_t)));
+    int64_t v = -1;
+    if (ret) {
+        v = PyLong_AsLongLong(ret);
+        if (PyErr_Occurred()) { PyErr_Clear(); v = -1; }
+        Py_DECREF(ret);
+    } else {
+        PyErr_Clear();
+    }
+    PyGILState_Release(st);
+    if (v < 0) return LUX_FHE_ERR_DECRYPT;
+    *plaintext = (int)v;
+    return LUX_FHE_OK;
+}
+
+// ---- CKKS ABI ---------------------------------------------------------------
+// Mirrors the reference Go bridge (/root/reference/go/ckks/bridge.cpp:33-234):
+// raw-pointer returns, NULL on failure, malloc'd output buffers the caller
+// frees.  Backed by the same capi_impl registries (ckks_* functions).
+
+typedef struct { int64_t id; } CKKSContext;
+typedef struct { int64_t id; } CKKSKeyPair;
+typedef struct { int64_t id; } CKKSCiphertext;
+
+static CKKSCiphertext* ckks_ct_wrap(int64_t id) {
+    if (id < 0) return nullptr;
+    return new (std::nothrow) CKKSCiphertext{id};
+}
+
+CKKSContext* ckks_context_new(int log_n, int log_q, double scale) {
+    int64_t id = call_i64("ckks_context_new", "iid", log_n, log_q, scale);
+    if (id < 0) return nullptr;
+    return new (std::nothrow) CKKSContext{id};
+}
+
+void ckks_context_free(CKKSContext* ctx) {
+    if (!ctx) return;
+    call_i64("ckks_context_free", "L", (long long)ctx->id);
+    delete ctx;
+}
+
+CKKSKeyPair* ckks_keygen(CKKSContext* ctx) {
+    if (!ctx) return nullptr;
+    int64_t id = call_i64("ckks_keygen", "LK", (long long)ctx->id,
+                          (unsigned long long)0);
+    if (id < 0) return nullptr;
+    return new (std::nothrow) CKKSKeyPair{id};
+}
+
+void ckks_keypair_free(CKKSKeyPair* kp) {
+    if (!kp) return;
+    call_i64("ckks_keypair_free", "L", (long long)kp->id);
+    delete kp;
+}
+
+CKKSCiphertext* ckks_encrypt(CKKSContext* ctx, CKKSKeyPair* kp,
+                             double* values, int len) {
+    if (!ctx || !kp || !values || len <= 0) return nullptr;
+    PyGILState_STATE st;
+    PyObject* mod = impl_acquire(&st);
+    if (!mod) return nullptr;
+    PyObject* ret = PyObject_CallMethod(
+        mod, "ckks_encrypt", "LLy#", (long long)ctx->id, (long long)kp->id,
+        (const char*)values, (Py_ssize_t)(len * (int)sizeof(double)));
+    int64_t id = -1;
+    if (ret) {
+        id = PyLong_AsLongLong(ret);
+        if (PyErr_Occurred()) { PyErr_Clear(); id = -1; }
+        Py_DECREF(ret);
+    } else {
+        PyErr_Clear();
+    }
+    PyGILState_Release(st);
+    return ckks_ct_wrap(id);
+}
+
+double* ckks_decrypt(CKKSContext* ctx, CKKSKeyPair* kp, CKKSCiphertext* ct,
+                     int* out_len) {
+    if (!ctx || !kp || !ct || !out_len) return nullptr;
+    *out_len = 0;
+    PyGILState_STATE st;
+    PyObject* mod = impl_acquire(&st);
+    if (!mod) return nullptr;
+    PyObject* ret = PyObject_CallMethod(
+        mod, "ckks_decrypt", "LLL", (long long)ctx->id, (long long)kp->id,
+        (long long)ct->id);
+    double* out = nullptr;
+    if (ret && PyBytes_Check(ret)) {
+        Py_ssize_t n = PyBytes_GET_SIZE(ret);
+        out = (double*)malloc(n > 0 ? (size_t)n : sizeof(double));
+        if (out) {
+            memcpy(out, PyBytes_AS_STRING(ret), (size_t)n);
+            *out_len = (int)(n / (Py_ssize_t)sizeof(double));
+        }
+    }
+    if (!ret) PyErr_Clear();
+    Py_XDECREF(ret);
+    PyGILState_Release(st);
+    return out;
+}
+
+void ckks_ciphertext_free(CKKSCiphertext* ct) {
+    if (!ct) return;
+    call_i64("ckks_ciphertext_free", "L", (long long)ct->id);
+    delete ct;
+}
+
+CKKSCiphertext* ckks_add(CKKSContext* ctx, CKKSCiphertext* a,
+                         CKKSCiphertext* b) {
+    if (!ctx || !a || !b) return nullptr;
+    return ckks_ct_wrap(call_i64("ckks_add", "LLL", (long long)ctx->id,
+                                 (long long)a->id, (long long)b->id));
+}
+
+CKKSCiphertext* ckks_sub(CKKSContext* ctx, CKKSCiphertext* a,
+                         CKKSCiphertext* b) {
+    if (!ctx || !a || !b) return nullptr;
+    return ckks_ct_wrap(call_i64("ckks_sub", "LLL", (long long)ctx->id,
+                                 (long long)a->id, (long long)b->id));
+}
+
+// NOTE: the reference's ckks_mult takes (ctx, a, b) and relies on the
+// context's registered mult key; here eval keys live on the keypair, so
+// the kp is explicit.  The Go wrapper passes it (Context.Mult(kp, a, b)).
+CKKSCiphertext* ckks_mult(CKKSContext* ctx, CKKSKeyPair* kp,
+                          CKKSCiphertext* a, CKKSCiphertext* b) {
+    if (!ctx || !kp || !a || !b) return nullptr;
+    return ckks_ct_wrap(call_i64("ckks_mult", "LLLL", (long long)ctx->id,
+                                 (long long)kp->id, (long long)a->id,
+                                 (long long)b->id));
+}
+
+CKKSCiphertext* ckks_rotate(CKKSContext* ctx, CKKSKeyPair* kp,
+                            CKKSCiphertext* ct, int steps) {
+    if (!ctx || !kp || !ct) return nullptr;
+    return ckks_ct_wrap(call_i64("ckks_rotate", "LLLi", (long long)ctx->id,
+                                 (long long)kp->id, (long long)ct->id,
+                                 steps));
+}
+
+CKKSCiphertext* ckks_bootstrap(CKKSContext* ctx, CKKSKeyPair* kp,
+                               CKKSCiphertext* ct) {
+    if (!ctx || !kp || !ct) return nullptr;
+    return ckks_ct_wrap(call_i64("ckks_bootstrap", "LLL",
+                                 (long long)ctx->id, (long long)kp->id,
+                                 (long long)ct->id));
+}
+
+unsigned char* ckks_serialize_ciphertext(CKKSCiphertext* ct, int* out_len) {
+    if (!ct || !out_len) return nullptr;
+    uint8_t* data = nullptr;
+    int64_t n = 0;
+    if (marshal_bytes("ckks_serialize_ciphertext", ct->id, &data, &n)
+            != LUX_FHE_OK) {
+        *out_len = 0;
+        return nullptr;
+    }
+    *out_len = (int)n;
+    return data;
+}
+
+CKKSCiphertext* ckks_deserialize_ciphertext(CKKSContext* ctx,
+                                            unsigned char* data, int len) {
+    if (!ctx || !data || len <= 0) return nullptr;
+    PyGILState_STATE st;
+    PyObject* mod = impl_acquire(&st);
+    if (!mod) return nullptr;
+    PyObject* ret = PyObject_CallMethod(
+        mod, "ckks_deserialize_ciphertext", "Ly#", (long long)ctx->id,
+        (const char*)data, (Py_ssize_t)len);
+    int64_t id = -1;
+    if (ret) {
+        id = PyLong_AsLongLong(ret);
+        if (PyErr_Occurred()) { PyErr_Clear(); id = -1; }
+        Py_DECREF(ret);
+    } else {
+        PyErr_Clear();
+    }
+    PyGILState_Release(st);
+    return ckks_ct_wrap(id);
+}
+
 }  // extern "C"

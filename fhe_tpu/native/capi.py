@@ -23,6 +23,11 @@ _tried = False
 
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 
+# process libc free() for malloc'd output buffers (ckks_decrypt doubles)
+libc_free = ctypes.CDLL(None).free
+libc_free.argtypes = [ctypes.c_void_p]
+libc_free.restype = None
+
 
 def _build_cmd():
     inc = sysconfig.get_paths()["include"]
@@ -106,6 +111,48 @@ def get_lib():
                      "lux_fhe_ciphertext_free"):
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         lib.lux_fhe_bytes_free.argtypes = [_u8p]
+        # ---- threshold ABI (go/threshold parity, working) ----
+        lib.lux_fhe_threshold_keygen.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p)]
+        lib.lux_fhe_threshold_free.argtypes = [ctypes.c_void_p]
+        lib.lux_fhe_threshold_parties.restype = ctypes.c_int
+        lib.lux_fhe_threshold_parties.argtypes = [ctypes.c_void_p]
+        lib.lux_fhe_threshold_decrypt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        # ---- ckks_* ABI (go/ckks bridge parity) ----
+        vp = ctypes.c_void_p
+        lib.ckks_context_new.restype = vp
+        lib.ckks_context_new.argtypes = [ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_double]
+        lib.ckks_context_free.argtypes = [vp]
+        lib.ckks_keygen.restype = vp
+        lib.ckks_keygen.argtypes = [vp]
+        lib.ckks_keypair_free.argtypes = [vp]
+        lib.ckks_encrypt.restype = vp
+        lib.ckks_encrypt.argtypes = [vp, vp,
+                                     ctypes.POINTER(ctypes.c_double),
+                                     ctypes.c_int]
+        lib.ckks_decrypt.restype = ctypes.POINTER(ctypes.c_double)
+        lib.ckks_decrypt.argtypes = [vp, vp, vp,
+                                     ctypes.POINTER(ctypes.c_int)]
+        lib.ckks_ciphertext_free.argtypes = [vp]
+        for nm in ("ckks_add", "ckks_sub"):
+            getattr(lib, nm).restype = vp
+            getattr(lib, nm).argtypes = [vp, vp, vp]
+        lib.ckks_mult.restype = vp
+        lib.ckks_mult.argtypes = [vp, vp, vp, vp]
+        lib.ckks_rotate.restype = vp
+        lib.ckks_rotate.argtypes = [vp, vp, vp, ctypes.c_int]
+        lib.ckks_bootstrap.restype = vp
+        lib.ckks_bootstrap.argtypes = [vp, vp, vp]
+        lib.ckks_serialize_ciphertext.restype = _u8p
+        lib.ckks_serialize_ciphertext.argtypes = [
+            vp, ctypes.POINTER(ctypes.c_int)]
+        lib.ckks_deserialize_ciphertext.restype = vp
+        lib.ckks_deserialize_ciphertext.argtypes = [vp, _u8p, ctypes.c_int]
         _lib = lib
     except Exception:
         _lib = None

@@ -210,3 +210,213 @@ def secretkey_unmarshal(data: bytes) -> int:
     i = _new_id()
     _secret_keys[i] = (sk, sk_n, np.random.default_rng())
     return i
+
+
+# ---------------------------------------------------------------------------
+# Threshold TFHE surface (reference: go/threshold/threshold.go is a TODO
+# stub over batch_threshold.h; this one drives the real t-of-n pipeline in
+# tfhe/threshold.py -- Shamir/Feldman shares, sigma-protocol proofs,
+# Lagrange combine).
+# ---------------------------------------------------------------------------
+
+_threshold: dict[int, dict] = {}
+
+
+def threshold_keygen(h: int, sk_h: int, t: int, n: int,
+                     scheme: str = "additive") -> int:
+    """Split the context's LWE secret into n shares (t-of-n for shamir,
+    n-of-n for additive).  Returns a share-set handle."""
+    from ..tfhe import threshold as th
+    ctx = _contexts[h]
+    sk, _sk_n, _rng = _secret_keys[sk_h]
+    cfg = th.ThresholdConfig(threshold=int(t), total_parties=int(n),
+                             scheme=scheme)
+    shares, vks = th.generate_key_shares(np.asarray(sk.s),
+                                         int(ctx.params.q), cfg)
+    i = _new_id()
+    _threshold[i] = {"cfg": cfg, "shares": shares, "vks": vks}
+    return i
+
+
+def threshold_free(h: int) -> None:
+    _threshold.pop(h, None)
+
+
+def threshold_parties(h: int) -> int:
+    return int(_threshold[h]["cfg"].total_parties)
+
+
+def threshold_decrypt(h: int, th_h: int, ct_h: int, ids: bytes) -> int:
+    """Run partial decrypts for the given parties (int32-packed ids) +
+    proof verification + combine; returns the decrypted bit (first slot),
+    or raises when the quorum is short / a proof fails."""
+    from ..tfhe import threshold as th
+    st = _threshold[th_h]
+    cfg, shares, vks = st["cfg"], st["shares"], st["vks"]
+    party_ids = set(np.frombuffer(bytes(ids), dtype="<i4").tolist())
+    use = [s for s in shares if s.party_id in party_ids]
+    ct = _ciphertexts[ct_h]
+    got = th.threshold_decrypt(cfg, ct, use, vks, p=4)
+    return int(np.asarray(got).reshape(-1)[0]) % 2
+
+
+# ---------------------------------------------------------------------------
+# CKKS surface (reference: go/ckks/bridge.cpp ckks_* extern "C" ABI).
+#
+# The reference bridge wraps CryptoContext<DCRTPoly> with FLEXIBLEAUTO and
+# generates relin + stock rotation keys at keygen (bridge.cpp:33-80).  Here
+# the context holder maps (log_n, log_q, scale) onto the uint32-limb chain:
+# scale factors above 2^28 use composite scaling (degree 2), mirroring how
+# the TPU build realizes large deltas (pke/params.py).  Rotation keys for
+# the stock step set are made at keygen like the reference; missing steps
+# are generated lazily from the cached secret key (the reference would
+# throw there -- bridge.cpp:169-180 only has +-{1,2,4,8,16}).
+# ---------------------------------------------------------------------------
+
+_ckks_ctx: dict[int, object] = {}
+_ckks_kp: dict[int, dict] = {}
+_ckks_ct: dict[int, object] = {}
+
+_CKKS_STOCK_ROTS = (1, -1, 2, -2, 4, -4, 8, -8, 16, -16)
+
+
+def ckks_context_new(log_n: int, log_q: int, scale: float) -> int:
+    import math
+    from ..pke import ckks as ckksmod
+    N = 1 << int(log_n)
+    sb = int(round(math.log2(scale))) if scale > 1 else 26
+    cd = 1 if sb <= 28 else 2
+    per = sb if cd == 1 else (sb + 1) // 2
+    if per > 28:
+        return -1                      # delta > 2^56 unsupported
+    # chain length from the logQ budget: one first limb block + levels
+    levels = (int(log_q) // per) - cd
+    levels = max(2 * cd, min(16, levels))
+    ctx = ckksmod.CkksContext.create(N=N, num_levels=levels, scale_bits=sb,
+                                     dnum=2, composite_degree=cd)
+    i = _new_id()
+    _ckks_ctx[i] = ctx
+    return i
+
+
+def ckks_context_free(h: int) -> None:
+    _ckks_ctx.pop(h, None)
+
+
+def ckks_keygen(h: int, seed: int = 0) -> int:
+    from ..pke import advanced  # noqa: F401  (import check only)
+    ctx = _ckks_ctx[h]
+    rng = np.random.default_rng(seed if seed else None)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    rot = ctx.rotation_key_gen(sk, _CKKS_STOCK_ROTS, rng)
+    i = _new_id()
+    _ckks_kp[i] = {"sk": sk, "pk": pk, "evk": evk, "rot": rot,
+                   "rng": rng, "boot": None}
+    return i
+
+
+def ckks_keypair_free(h: int) -> None:
+    _ckks_kp.pop(h, None)
+
+
+def ckks_encrypt(ctx_h: int, kp_h: int, values: bytes) -> int:
+    """values: packed little-endian float64s (the C double* buffer)."""
+    ctx = _ckks_ctx[ctx_h]
+    kp = _ckks_kp[kp_h]
+    z = np.frombuffer(bytes(values), dtype="<f8")
+    slots = ctx.params.N // 2
+    if len(z) > slots:
+        raise ValueError("too many values for slot count")
+    full = np.zeros(slots)
+    full[:len(z)] = z
+    ct = ctx.encrypt(kp["pk"], full, kp["rng"])
+    i = _new_id()
+    _ckks_ct[i] = ct
+    return i
+
+
+def ckks_decrypt(ctx_h: int, kp_h: int, ct_h: int) -> bytes:
+    ctx = _ckks_ctx[ctx_h]
+    kp = _ckks_kp[kp_h]
+    z = np.asarray(_ckks_ctx[ctx_h].decrypt(kp["sk"], _ckks_ct[ct_h])).real
+    return np.ascontiguousarray(z, dtype="<f8").tobytes()
+
+
+def ckks_ciphertext_free(h: int) -> None:
+    _ckks_ct.pop(h, None)
+
+
+def _ckks_store(ct) -> int:
+    i = _new_id()
+    _ckks_ct[i] = ct
+    return i
+
+
+def ckks_add(ctx_h: int, a_h: int, b_h: int) -> int:
+    from ..pke import advanced
+    ctx = _ckks_ctx[ctx_h]
+    return _ckks_store(advanced.add_aligned(ctx, _ckks_ct[a_h],
+                                            _ckks_ct[b_h]))
+
+
+def ckks_sub(ctx_h: int, a_h: int, b_h: int) -> int:
+    from ..pke import advanced, ckks as ckksmod
+    from ..lattice import rns
+    ctx = _ckks_ctx[ctx_h]
+    b = _ckks_ct[b_h]
+    neg = ckksmod.Ciphertext(rns.neg(b.c0), rns.neg(b.c1), b.scale)
+    return _ckks_store(advanced.add_aligned(ctx, _ckks_ct[a_h], neg))
+
+
+def ckks_mult(ctx_h: int, kp_h: int, a_h: int, b_h: int) -> int:
+    """EvalMult + relinearize + rescale (FLEXIBLEAUTO semantics)."""
+    from ..pke import advanced
+    ctx = _ckks_ctx[ctx_h]
+    evk = _ckks_kp[kp_h]["evk"]
+    return _ckks_store(advanced.mul_aligned(ctx, _ckks_ct[a_h],
+                                            _ckks_ct[b_h], evk))
+
+
+def ckks_rotate(ctx_h: int, kp_h: int, ct_h: int, steps: int) -> int:
+    ctx = _ckks_ctx[ctx_h]
+    kp = _ckks_kp[kp_h]
+    if steps not in kp["rot"]:
+        kp["rot"].update(ctx.rotation_key_gen(kp["sk"], [steps], kp["rng"]))
+    return _ckks_store(ctx.rotate(_ckks_ct[ct_h], steps, kp["rot"]))
+
+
+_CKKS_BOOT_H = 16        # encapsulation helper weight (SPARSE_ENCAPSULATED)
+
+
+def ckks_bootstrap(ctx_h: int, kp_h: int, ct_h: int) -> int:
+    """EvalBootstrap with lazy Setup/KeyGen cached on the keypair.  Uses
+    the SPARSE_ENCAPSULATED path (dense main secret + weight-16 helper)
+    so the keypair from ckks_keygen bootstraps as-is.  The reference
+    bridge forwards to cc->EvalBootstrap without ever running
+    EvalBootstrapSetup (bridge.cpp:182-195) and so always fails; this
+    one works, given a chain with >= 10 levels."""
+    from ..pke import bootstrap
+    ctx = _ckks_ctx[ctx_h]
+    kp = _ckks_kp[kp_h]
+    if len(ctx.params.moduli) < 10:
+        raise ValueError("chain too short for bootstrapping (need logQ "
+                         "budget for raise + CtS + sine + StC)")
+    if kp["boot"] is None:
+        pre = bootstrap.setup(ctx, h=_CKKS_BOOT_H)
+        keys = bootstrap.keygen(ctx, kp["sk"], pre, kp["rng"],
+                                encapsulate_h=_CKKS_BOOT_H)
+        kp["boot"] = (pre, keys)
+    pre, keys = kp["boot"]
+    return _ckks_store(bootstrap.eval_bootstrap(ctx, _ckks_ct[ct_h],
+                                                pre, keys))
+
+
+def ckks_serialize_ciphertext(ct_h: int) -> bytes:
+    from ..utils import serial
+    return serial.dumps(_ckks_ct[ct_h], mode="binary")
+
+
+def ckks_deserialize_ciphertext(ctx_h: int, data: bytes) -> int:
+    from ..utils import serial
+    return _ckks_store(serial.loads(bytes(data), mode="binary"))

@@ -129,3 +129,132 @@ def test_marshal_roundtrip(lib, stack):
     assert lib.lux_fhe_secretkey_unmarshal(
         ctypes.cast(buf2, capi._u8p), len(raw_sk), ctypes.byref(sk2)) == 0
     assert _dec(lib, ctx, sk2, ct) == 1
+
+
+# ---------------------------------------------------------------------------
+# ckks_* ABI (reference: go/ckks/bridge.cpp:33-234) — the surface behind
+# the Go ckks package (bindings/go/ckks/ckks.go).
+# ---------------------------------------------------------------------------
+
+class TestCkksAbi:
+    @pytest.fixture(scope="class")
+    def cstack(self, lib):
+        # log_n=8 (N=256), ~2^104 chain, delta=2^26 -> small fast chain
+        ctx = lib.ckks_context_new(8, 104, float(1 << 26))
+        assert ctx
+        kp = lib.ckks_keygen(ctx)
+        assert kp
+        return ctx, kp
+
+    def _dec(self, lib, ctx, kp, ct, n):
+        out_len = ctypes.c_int()
+        p = lib.ckks_decrypt(ctx, kp, ct, ctypes.byref(out_len))
+        assert p
+        vals = np.array([p[i] for i in range(min(n, out_len.value))])
+        capi.libc_free(p)
+        return vals
+
+    def _enc(self, lib, ctx, kp, vals):
+        arr = (ctypes.c_double * len(vals))(*vals)
+        ct = lib.ckks_encrypt(ctx, kp, arr, len(vals))
+        assert ct
+        return ct
+
+    def test_roundtrip_add_sub_mult(self, lib, cstack):
+        ctx, kp = cstack
+        a = [0.5, -1.25, 2.0, 3.0]
+        b = [1.0, 0.25, -0.5, 2.0]
+        ca, cb = self._enc(lib, ctx, kp, a), self._enc(lib, ctx, kp, b)
+        got = self._dec(lib, ctx, kp, ca, 4)
+        assert np.abs(got - a).max() < 1e-3
+        cadd = lib.ckks_add(ctx, ca, cb)
+        assert np.abs(self._dec(lib, ctx, kp, cadd, 4)
+                      - (np.array(a) + b)).max() < 1e-3
+        csub = lib.ckks_sub(ctx, ca, cb)
+        assert np.abs(self._dec(lib, ctx, kp, csub, 4)
+                      - (np.array(a) - b)).max() < 1e-3
+        cmul = lib.ckks_mult(ctx, kp, ca, cb)
+        assert np.abs(self._dec(lib, ctx, kp, cmul, 4)
+                      - np.array(a) * b).max() < 1e-2
+        for c in (cadd, csub, cmul):
+            lib.ckks_ciphertext_free(c)
+
+    def test_rotate_stock_and_lazy(self, lib, cstack):
+        ctx, kp = cstack
+        vals = [float(i) for i in range(8)]
+        ct = self._enc(lib, ctx, kp, vals)
+        r1 = lib.ckks_rotate(ctx, kp, ct, 1)       # stock key
+        assert abs(self._dec(lib, ctx, kp, r1, 1)[0] - 1.0) < 1e-3
+        r3 = lib.ckks_rotate(ctx, kp, ct, 3)       # lazily generated key
+        assert abs(self._dec(lib, ctx, kp, r3, 1)[0] - 3.0) < 1e-3
+        lib.ckks_ciphertext_free(r1)
+        lib.ckks_ciphertext_free(r3)
+
+    def test_serialize_roundtrip(self, lib, cstack):
+        ctx, kp = cstack
+        ct = self._enc(lib, ctx, kp, [1.5, -2.5])
+        n = ctypes.c_int()
+        data = lib.ckks_serialize_ciphertext(ct, ctypes.byref(n))
+        assert data and n.value > 0
+        raw = bytes(bytearray(ctypes.cast(
+            data, ctypes.POINTER(ctypes.c_uint8 * n.value)).contents))
+        lib.lux_fhe_bytes_free(data)
+        buf = (ctypes.c_uint8 * len(raw)).from_buffer_copy(raw)
+        back = lib.ckks_deserialize_ciphertext(
+            ctx, ctypes.cast(buf, capi._u8p), len(raw))
+        assert back
+        got = self._dec(lib, ctx, kp, back, 2)
+        assert np.abs(got - [1.5, -2.5]).max() < 1e-3
+
+    def test_null_arguments_rejected(self, lib, cstack):
+        ctx, kp = cstack
+        assert not lib.ckks_keygen(None)
+        assert not lib.ckks_add(ctx, None, None)
+        out_len = ctypes.c_int()
+        assert not lib.ckks_decrypt(ctx, kp, None, ctypes.byref(out_len))
+
+
+@pytest.mark.slow
+def test_ckks_abi_bootstrap(lib):
+    """ckks_bootstrap end-to-end (the reference bridge's always-fails op,
+    bridge.cpp:182-195, working here): 13-limb composite chain, exhaust
+    levels, refresh, decrypt."""
+    ctx = lib.ckks_context_new(7, 390, float(1 << 52))
+    assert ctx
+    kp = lib.ckks_keygen(ctx)
+    assert kp
+    vals = [0.25, -0.5, 0.125]
+    arr = (ctypes.c_double * len(vals))(*vals)
+    ct = lib.ckks_encrypt(ctx, kp, arr, len(vals))
+    assert ct
+    out = lib.ckks_bootstrap(ctx, kp, ct)
+    assert out
+    out_len = ctypes.c_int()
+    p = lib.ckks_decrypt(ctx, kp, out, ctypes.byref(out_len))
+    assert p
+    got = np.array([p[i] for i in range(3)])
+    capi.libc_free(p)
+    assert np.abs(got - vals).max() < 2e-2
+
+
+def test_threshold_abi(lib, stack):
+    """lux_fhe_threshold_* (go/threshold stub in the reference; real
+    Shamir/sigma-protocol pipeline here): 3-of-3 additive split of the
+    context secret, quorum decrypt succeeds, short quorum errors."""
+    ctx, sk, _bsk = stack
+    sh = ctypes.c_void_p()
+    assert lib.lux_fhe_threshold_keygen(ctx, sk, 3, 3, b"additive",
+                                        ctypes.byref(sh)) == 0
+    assert lib.lux_fhe_threshold_parties(sh) == 3
+    ct = _enc(lib, ctx, sk, 1)
+    ids = (ctypes.c_int32 * 3)(1, 2, 3)
+    out = ctypes.c_int()
+    assert lib.lux_fhe_threshold_decrypt(ctx, sh, ct, ids, 3,
+                                         ctypes.byref(out)) == 0
+    assert out.value == 1
+    # short quorum: additive needs all parties
+    ids2 = (ctypes.c_int32 * 2)(1, 2)
+    rc = lib.lux_fhe_threshold_decrypt(ctx, sh, ct, ids2, 2,
+                                       ctypes.byref(out))
+    assert rc != 0
+    lib.lux_fhe_threshold_free(sh)
