@@ -41,7 +41,9 @@ double* ckks_decrypt(CKKSContext* ctx, CKKSKeyPair* kp, CKKSCiphertext* ct, int*
 void ckks_ciphertext_free(CKKSCiphertext* ct);
 CKKSCiphertext* ckks_add(CKKSContext* ctx, CKKSCiphertext* a, CKKSCiphertext* b);
 CKKSCiphertext* ckks_sub(CKKSContext* ctx, CKKSCiphertext* a, CKKSCiphertext* b);
-CKKSCiphertext* ckks_mult(CKKSContext* ctx, CKKSKeyPair* kp, CKKSCiphertext* a, CKKSCiphertext* b);
+CKKSCiphertext* ckks_mult(CKKSContext* ctx, CKKSCiphertext* a, CKKSCiphertext* b);
+CKKSCiphertext* ckks_mult_kp(CKKSContext* ctx, CKKSKeyPair* kp, CKKSCiphertext* a, CKKSCiphertext* b);
+int ckks_context_levels(CKKSContext* ctx);
 CKKSCiphertext* ckks_rotate(CKKSContext* ctx, CKKSKeyPair* kp, CKKSCiphertext* ct, int steps);
 CKKSCiphertext* ckks_bootstrap(CKKSContext* ctx, CKKSKeyPair* kp, CKKSCiphertext* ct);
 unsigned char* ckks_serialize_ciphertext(CKKSCiphertext* ct, int* out_len);
@@ -199,7 +201,7 @@ func (c *Context) Mult(kp *KeyPair, a, b *Ciphertext) (*Ciphertext, error) {
 		a == nil || a.ptr == nil || b == nil || b.ptr == nil {
 		return nil, errors.New("ckks: invalid mult arguments")
 	}
-	return wrapCt(C.ckks_mult(c.ptr, kp.ptr, a.ptr, b.ptr), "mult")
+	return wrapCt(C.ckks_mult_kp(c.ptr, kp.ptr, a.ptr, b.ptr), "mult")
 }
 
 // Rotate rotates slots left by steps (negative = right).

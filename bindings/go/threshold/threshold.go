@@ -48,6 +48,15 @@ const (
 	// Additive is n-of-n additive sharing (all parties required).
 	Additive Scheme = "additive"
 	// Shamir is t-of-n polynomial sharing with Feldman commitments.
+	//
+	// LIMITATION: Shamir reconstruction needs pairwise-invertible
+	// party-id differences, i.e. a prime share modulus.  Every context
+	// reachable through this ABI uses a power-of-two LWE modulus q
+	// (q = 2N / 8192 / 512), so KeyGen(scheme=Shamir) always fails with
+	// ErrKeygen here.  Shamir IS available in-process on Q-extended
+	// ciphertexts (prime gate modulus Q — fhe_tpu/tfhe/threshold.py,
+	// tests/test_threshold.py::test_shamir_2_of_3_extended); the ABI
+	// does not yet expose extended-ciphertext gates.  Use Additive.
 	Shamir Scheme = "shamir"
 )
 

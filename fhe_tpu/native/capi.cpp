@@ -574,15 +574,32 @@ CKKSCiphertext* ckks_sub(CKKSContext* ctx, CKKSCiphertext* a,
                                  (long long)a->id, (long long)b->id));
 }
 
-// NOTE: the reference's ckks_mult takes (ctx, a, b) and relies on the
-// context's registered mult key; here eval keys live on the keypair, so
-// the kp is explicit.  The Go wrapper passes it (Context.Mult(kp, a, b)).
-CKKSCiphertext* ckks_mult(CKKSContext* ctx, CKKSKeyPair* kp,
-                          CKKSCiphertext* a, CKKSCiphertext* b) {
+// The reference's ckks_mult takes (ctx, a, b) and relies on the context's
+// registered mult key (go/ckks/bridge.cpp).  ckks_keygen registers its
+// eval keys on the context, so the 3-arg form keeps the reference ABI;
+// the explicit-keypair variant is exported under a DISTINCT name so code
+// compiled against the reference header never mis-passes a ciphertext
+// where a keypair is expected.
+CKKSCiphertext* ckks_mult(CKKSContext* ctx, CKKSCiphertext* a,
+                          CKKSCiphertext* b) {
+    if (!ctx || !a || !b) return nullptr;
+    return ckks_ct_wrap(call_i64("ckks_mult_ctx", "LLL", (long long)ctx->id,
+                                 (long long)a->id, (long long)b->id));
+}
+
+CKKSCiphertext* ckks_mult_kp(CKKSContext* ctx, CKKSKeyPair* kp,
+                             CKKSCiphertext* a, CKKSCiphertext* b) {
     if (!ctx || !kp || !a || !b) return nullptr;
     return ckks_ct_wrap(call_i64("ckks_mult", "LLLL", (long long)ctx->id,
                                  (long long)kp->id, (long long)a->id,
                                  (long long)b->id));
+}
+
+// Realized multiplicative depth of the context's chain (callers can see
+// what their logQ budget bought; nothing is silently clamped any more).
+int ckks_context_levels(CKKSContext* ctx) {
+    if (!ctx) return -1;
+    return (int)call_i64("ckks_context_levels", "L", (long long)ctx->id);
 }
 
 CKKSCiphertext* ckks_rotate(CKKSContext* ctx, CKKSKeyPair* kp,

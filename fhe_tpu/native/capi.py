@@ -142,8 +142,12 @@ def get_lib():
         for nm in ("ckks_add", "ckks_sub"):
             getattr(lib, nm).restype = vp
             getattr(lib, nm).argtypes = [vp, vp, vp]
-        lib.ckks_mult.restype = vp
-        lib.ckks_mult.argtypes = [vp, vp, vp, vp]
+        lib.ckks_mult.restype = vp                  # reference 3-arg ABI
+        lib.ckks_mult.argtypes = [vp, vp, vp]
+        lib.ckks_mult_kp.restype = vp               # explicit-keypair form
+        lib.ckks_mult_kp.argtypes = [vp, vp, vp, vp]
+        lib.ckks_context_levels.restype = ctypes.c_int
+        lib.ckks_context_levels.argtypes = [vp]
         lib.ckks_rotate.restype = vp
         lib.ckks_rotate.argtypes = [vp, vp, vp, ctypes.c_int]
         lib.ckks_bootstrap.restype = vp

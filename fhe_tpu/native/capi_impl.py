@@ -257,7 +257,13 @@ def threshold_decrypt(h: int, th_h: int, ct_h: int, ids: bytes) -> int:
     use = [s for s in shares if s.party_id in party_ids]
     ct = _ciphertexts[ct_h]
     got = th.threshold_decrypt(cfg, ct, use, vks, p=4)
-    return int(np.asarray(got).reshape(-1)[0]) % 2
+    val = int(np.asarray(got).reshape(-1)[0])
+    if val not in (0, 1):
+        # a noisy/failed decrypt decodes to 2 or 3 at p=4 -- surface it
+        # (mapped to LUX_FHE_ERR_DECRYPT by the C shim) instead of folding
+        # it into a plausible-looking bit
+        raise ValueError(f"threshold decrypt out of range: {val}")
+    return val
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +282,7 @@ def threshold_decrypt(h: int, th_h: int, ct_h: int, ids: bytes) -> int:
 _ckks_ctx: dict[int, object] = {}
 _ckks_kp: dict[int, dict] = {}
 _ckks_ct: dict[int, object] = {}
+_ckks_default_kp: dict[int, int] = {}   # ctx handle -> latest keygen handle
 
 _CKKS_STOCK_ROTS = (1, -1, 2, -2, 4, -4, 8, -8, 16, -16)
 
@@ -284,14 +291,18 @@ def ckks_context_new(log_n: int, log_q: int, scale: float) -> int:
     import math
     from ..pke import ckks as ckksmod
     N = 1 << int(log_n)
-    sb = int(round(math.log2(scale))) if scale > 1 else 26
+    if scale <= 1:
+        return -1                      # reject instead of silently fixing
+    sb = int(round(math.log2(scale)))
     cd = 1 if sb <= 28 else 2
     per = sb if cd == 1 else (sb + 1) // 2
     if per > 28:
         return -1                      # delta > 2^56 unsupported
     # chain length from the logQ budget: one first limb block + levels
     levels = (int(log_q) // per) - cd
-    levels = max(2 * cd, min(16, levels))
+    if levels < 2 * cd:
+        return -1                      # logQ budget too small for the scale
+    levels = min(64, levels)
     ctx = ckksmod.CkksContext.create(N=N, num_levels=levels, scale_bits=sb,
                                      dnum=2, composite_degree=cd)
     i = _new_id()
@@ -299,8 +310,17 @@ def ckks_context_new(log_n: int, log_q: int, scale: float) -> int:
     return i
 
 
+def ckks_context_levels(h: int) -> int:
+    """Realized multiplicative depth of the chain (accessor so callers can
+    see what their logQ budget bought -- nothing is silently clamped)."""
+    ctx = _ckks_ctx[h]
+    cd = ctx.params.composite_degree
+    return int(len(ctx.params.moduli) // cd - 1)
+
+
 def ckks_context_free(h: int) -> None:
     _ckks_ctx.pop(h, None)
+    _ckks_default_kp.pop(h, None)
 
 
 def ckks_keygen(h: int, seed: int = 0) -> int:
@@ -313,6 +333,9 @@ def ckks_keygen(h: int, seed: int = 0) -> int:
     i = _new_id()
     _ckks_kp[i] = {"sk": sk, "pk": pk, "evk": evk, "rot": rot,
                    "rng": rng, "boot": None}
+    # register as the context's default keypair: the reference-ABI 3-arg
+    # ckks_mult(ctx, a, b) resolves its eval key through this
+    _ckks_default_kp[h] = i
     return i
 
 
@@ -378,6 +401,12 @@ def ckks_mult(ctx_h: int, kp_h: int, a_h: int, b_h: int) -> int:
                                             _ckks_ct[b_h], evk))
 
 
+def ckks_mult_ctx(ctx_h: int, a_h: int, b_h: int) -> int:
+    """Reference-ABI 3-arg mult: eval key comes from the context's
+    registered (latest-keygen) keypair."""
+    return ckks_mult(ctx_h, _ckks_default_kp[ctx_h], a_h, b_h)
+
+
 def ckks_rotate(ctx_h: int, kp_h: int, ct_h: int, steps: int) -> int:
     ctx = _ckks_ctx[ctx_h]
     kp = _ckks_kp[kp_h]
@@ -419,4 +448,16 @@ def ckks_serialize_ciphertext(ct_h: int) -> bytes:
 
 def ckks_deserialize_ciphertext(ctx_h: int, data: bytes) -> int:
     from ..utils import serial
-    return _ckks_store(serial.loads(bytes(data), mode="binary"))
+    from ..pke import ckks as ckksmod
+    ct = serial.loads(bytes(data), mode="binary")
+    if not isinstance(ct, ckksmod.Ciphertext):
+        raise TypeError(f"blob decodes to {type(ct).__name__}, "
+                        "not a CKKS ciphertext")
+    params = _ckks_ctx[ctx_h].params
+    lims = tuple(int(m) for m in np.asarray(ct.c0.moduli).reshape(-1))
+    if ct.c0.data.shape[-1] != params.N or \
+            lims != tuple(params.moduli)[:len(lims)]:
+        raise ValueError("ciphertext does not match context: ring dim "
+                         f"{ct.c0.data.shape[-1]} vs {params.N} or limb "
+                         "moduli are not a prefix of the context chain")
+    return _ckks_store(ct)

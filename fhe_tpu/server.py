@@ -196,6 +196,11 @@ def serve(port: int = 8080):
     srv.serve_forever()
 
 
-if __name__ == "__main__":
+def main():
+    """Console entry point (`fhe-tpu-server [port]`)."""
     import sys
     serve(int(sys.argv[1]) if len(sys.argv) > 1 else 8080)
+
+
+if __name__ == "__main__":
+    main()

@@ -173,11 +173,42 @@ class TestCkksAbi:
         csub = lib.ckks_sub(ctx, ca, cb)
         assert np.abs(self._dec(lib, ctx, kp, csub, 4)
                       - (np.array(a) - b)).max() < 1e-3
-        cmul = lib.ckks_mult(ctx, kp, ca, cb)
+        cmul = lib.ckks_mult_kp(ctx, kp, ca, cb)
         assert np.abs(self._dec(lib, ctx, kp, cmul, 4)
                       - np.array(a) * b).max() < 1e-2
-        for c in (cadd, csub, cmul):
+        # reference-ABI 3-arg form resolves the context's registered key
+        cmul3 = lib.ckks_mult(ctx, ca, cb)
+        assert np.abs(self._dec(lib, ctx, kp, cmul3, 4)
+                      - np.array(a) * b).max() < 1e-2
+        for c in (cadd, csub, cmul, cmul3):
             lib.ckks_ciphertext_free(c)
+
+    def test_context_levels_accessor(self, lib, cstack):
+        ctx, _kp = cstack
+        # log_q=104, delta=2^26 -> 104//26 - 1 = 3 levels, visible to callers
+        assert lib.ckks_context_levels(ctx) == 3
+        # out-of-range parameters are rejected, not silently rewritten
+        assert not lib.ckks_context_new(8, 104, 0.5)
+        assert not lib.ckks_context_new(8, 30, float(1 << 26))
+
+    def test_deserialize_validates_context(self, lib, cstack):
+        ctx, kp = cstack
+        ct = self._enc(lib, ctx, kp, [1.0])
+        n = ctypes.c_int()
+        data = lib.ckks_serialize_ciphertext(ct, ctypes.byref(n))
+        raw = bytes(bytearray(ctypes.cast(
+            data, ctypes.POINTER(ctypes.c_uint8 * n.value)).contents))
+        lib.lux_fhe_bytes_free(data)
+        # garbage blob and a mismatched-context blob both fail cleanly
+        junk = (ctypes.c_uint8 * 8)(*b"notactx!")
+        assert not lib.ckks_deserialize_ciphertext(
+            ctx, ctypes.cast(junk, capi._u8p), 8)
+        other = lib.ckks_context_new(9, 104, float(1 << 26))  # N=512 != 256
+        assert other
+        buf = (ctypes.c_uint8 * len(raw)).from_buffer_copy(raw)
+        assert not lib.ckks_deserialize_ciphertext(
+            other, ctypes.cast(buf, capi._u8p), len(raw))
+        lib.ckks_context_free(other)
 
     def test_rotate_stock_and_lazy(self, lib, cstack):
         ctx, kp = cstack
@@ -258,3 +289,16 @@ def test_threshold_abi(lib, stack):
                                        ctypes.byref(out))
     assert rc != 0
     lib.lux_fhe_threshold_free(sh)
+
+
+def test_threshold_abi_shamir_unavailable(lib, stack):
+    """Shamir sharing needs a prime share modulus; every ABI context has a
+    power-of-two LWE modulus q, so scheme="shamir" must fail with a keygen
+    error (documented limitation -- bindings/go/threshold/threshold.go).
+    Shamir on prime-Q extended ciphertexts is covered in-process by
+    tests/test_threshold.py."""
+    ctx, sk, _bsk = stack
+    sh = ctypes.c_void_p()
+    rc = lib.lux_fhe_threshold_keygen(ctx, sk, 2, 3, b"shamir",
+                                      ctypes.byref(sh))
+    assert rc != 0
