@@ -1,0 +1,293 @@
+"""Lane-factored negacyclic NTT: N = n1 x 128 with the 128-point DFT as
+one int8 MXU matmul over the LANE axis and the n1-point DFT as butterfly
+stages over the SUBLANE axis.
+
+This is the TPU-shaped four-step decomposition (reference algorithm:
+/root/reference/src/core/include/math/hal/mlx/ntt_fourstep.h:1-14) with
+the factors chosen for the 8x128 vector registers: the O(N^2) dense MXU
+path (math/ntt.py forward_mxu) costs N/128 = 8x more MXU MACs at N=1024,
+and the generic four-step split (32x32) wastes 3/4 of every lane vector.
+All twist/untwist/1/N factors fold into the constant tables, and the
+layout is chosen so NO transpose or permutation is ever needed:
+
+  EVALUATION (natural): position [k1, k2] = X[128*k1 + k2]
+  COEFFICIENT (interleaved): position [i1, i2] = x[i1 + n1*i2]
+
+forward  (coeff-interleaved -> eval-natural):
+  lane matmul over i2 (twist psi^{n1*i2} folded into W128f rows)
+  -> pointwise twiddle psi^{i1} * omega^{i1*k2}
+  -> sublane DFT-n1 (omega^{128})^{i1*k1}
+inverse  (eval-natural -> coeff-interleaved):
+  sublane DFT-n1 (omega^{-128})^{i1*k1}
+  -> pointwise twiddle psi^{-i1} * omega^{-i1*k2}
+  -> lane matmul over k2 (psi^{-n1*i2}/N folded into W128i columns)
+
+Both directions are bit-exact vs ntt.forward_butterfly/inverse_butterfly
+(tested), so the blind-rotate megakernel consumes/produces standard
+natural-order EVALUATION data with no BSK or monomial-table relabeling;
+only the COEFFICIENT-domain digit decomposition sees the interleaved
+order, and it is pointwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import ntt as nttmod
+from .modmath import (U32, u32, add_mod, sub_mod, shoup_mul, reduce_i32,
+                      shoup_precompute)
+
+LANES = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LanePlan:
+    """Tables for the (N, q) lane-factored NTT.  n1 = N // 128."""
+    N: int = dataclasses.field(metadata=dict(static=True))
+    q: int = dataclasses.field(metadata=dict(static=True))
+    n1: int = dataclasses.field(metadata=dict(static=True))
+    d: int = dataclasses.field(metadata=dict(static=True))      # digit planes
+    # int8 digit-plane lane-DFT matrices
+    W128f_s2: jax.Array   # [2*128, d*128]  forward, signed base-128 input
+    W128f: jax.Array      # [d*128, d*128]  forward, full uint32 input
+    W128i: jax.Array      # [d*128, d*128]  inverse (untwist + 1/N folded)
+    # pointwise twiddles [n1, 128] (+ shoup duals)
+    tw_f: jax.Array
+    tw_f_s: jax.Array
+    tw_i: jax.Array
+    tw_i_s: jax.Array
+    # sublane DFT stage twiddles: [log2(n1), n1, 128] lane-broadcast
+    # (+ duals), CT order with bit-reversed input rows
+    st_f: jax.Array
+    st_f_s: jax.Array
+    st_i: jax.Array
+    st_i_s: jax.Array
+    # recombination constants, lane-broadcast: row 0 = 2^14 mod q,
+    # row 1 = its shoup dual
+    comb14: jax.Array     # [2, 128]
+
+
+@functools.lru_cache(maxsize=None)
+def make_lane_plan(N: int, q: int) -> LanePlan:
+    with jax.ensure_compile_time_eval():
+        return _make_lane_plan(N, q)
+
+
+def _pow_table(base: int, length: int, q: int) -> np.ndarray:
+    out = np.zeros(length, dtype=np.uint64)
+    acc = 1
+    for i in range(length):
+        out[i] = acc
+        acc = acc * base % q
+    return out
+
+
+def _make_lane_plan(N: int, q: int) -> LanePlan:
+    assert N % LANES == 0 and (N // LANES) & (N // LANES - 1) == 0
+    n1 = N // LANES
+    plan = nttmod.make_plan(N, q)
+    psi = plan.psi
+    om = pow(psi, 2, q)                      # N-th root
+    om8 = pow(om, n1, q)                     # 128-point root (order 128)
+    om128 = pow(om, LANES, q)                # n1-point root (order n1)
+    d = plan.d_full
+    i2 = np.arange(LANES)
+    k2 = np.arange(LANES)
+    i1 = np.arange(n1)
+
+    # forward lane matrix: W[i2, k2] = psi^(n1 i2) * om8^(i2 k2)
+    Wf = (_pow_table(psi, 2 * N, q)[(n1 * i2) % (2 * N)][:, None] *
+          _pow_table(om8, LANES, q)[np.outer(i2, k2) % LANES]) % q
+    # inverse lane matrix: W[k2, i2] = om8^(-k2 i2) * psi^(-n1 i2) / N
+    om8_inv = pow(om8, -1, q)
+    psi_inv = pow(psi, -1, q)
+    ninv = pow(N, -1, q)
+    Wi = (_pow_table(om8_inv, LANES, q)[np.outer(k2, i2) % LANES] *
+          ((_pow_table(psi_inv, 2 * N, q)[(n1 * i2) % (2 * N)] * ninv) % q
+           )[None, :]) % q
+
+    dig = lambda M, din, w: jnp.asarray(
+        nttmod._build_digit_matrix(M, q, din, d, w))
+    W128f_s2 = dig(Wf, 2, [1, 128])
+    W128f = dig(Wf, d, [1 << (7 * u) for u in range(d)])
+    W128i = dig(Wi, d, [1 << (7 * u) for u in range(d)])
+
+    # pointwise twiddles: fwd tw[i1, k2] = psi^{i1} om^{i1 k2};
+    # inv tw[i1, k2] = psi^{-i1} om^{-i1 k2}
+    om_pows = _pow_table(om, N, q)
+    psi_pows = _pow_table(psi, 2 * N, q)
+    tw_f = (psi_pows[i1 % (2 * N)][:, None] *
+            om_pows[np.outer(i1, k2) % N]) % q
+    om_inv = pow(om, -1, q)
+    omi_pows = _pow_table(om_inv, N, q)
+    psii_pows = _pow_table(psi_inv, 2 * N, q)
+    tw_i = (psii_pows[i1 % (2 * N)][:, None] *
+            omi_pows[np.outer(i1, k2) % N]) % q
+
+    shoup_arr = lambda a: ((a.astype(object) << 32) // q).astype(
+        np.uint64).astype(np.uint32)
+
+    # sublane DFT stages (cyclic, length n1, root om128).
+    # Forward: CT stages on bit-reversed input rows; twiddle of stage s at
+    # output row group: standard iterative radix-2 with tables per stage.
+    logn1 = n1.bit_length() - 1
+    omp = _pow_table(om128, n1, q)
+    ompi = _pow_table(pow(om128, -1, q), n1, q)
+    st_f = np.zeros((logn1, n1, 1), dtype=np.uint32)
+    st_i = np.zeros((logn1, n1, 1), dtype=np.uint32)
+    for s in range(logn1):
+        m = 1 << (s + 1)
+        for j in range(n1):
+            t = j % m
+            # butterfly twiddle exponent for position j at stage s:
+            # w^( (t mod m/2) * n1/m )
+            st_f[s, j, 0] = omp[((t % (m // 2)) * (n1 // m)) % n1]
+            st_i[s, j, 0] = ompi[((t % (m // 2)) * (n1 // m)) % n1]
+    bcast = lambda a: np.broadcast_to(a, a.shape[:-1] + (LANES,)).copy()
+    st_f, st_i = bcast(st_f), bcast(st_i)
+    comb14 = bcast(np.array(
+        [[(1 << 14) % q], [shoup_precompute((1 << 14) % q, q)]],
+        dtype=np.uint32))
+
+    return LanePlan(
+        N=N, q=q, n1=n1, d=d,
+        W128f_s2=W128f_s2, W128f=W128f, W128i=W128i,
+        tw_f=jnp.asarray(tw_f.astype(np.uint32)),
+        tw_f_s=jnp.asarray(shoup_arr(tw_f)),
+        tw_i=jnp.asarray(tw_i.astype(np.uint32)),
+        tw_i_s=jnp.asarray(shoup_arr(tw_i)),
+        st_f=jnp.asarray(st_f), st_f_s=jnp.asarray(shoup_arr(st_f)),
+        st_i=jnp.asarray(st_i), st_i_s=jnp.asarray(shoup_arr(st_i)),
+        comb14=jnp.asarray(comb14),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared compute blocks (used by both the XLA reference and the Pallas
+# megakernel -- identical arithmetic, hence bit-identical results)
+# ---------------------------------------------------------------------------
+
+def _sublane_dft(lp: LanePlan, x: jax.Array, inverse: bool) -> jax.Array:
+    """Cyclic DFT of length n1 over axis -2 of [..., n1, 128] mod q.
+    Natural order in and out (input rows pre-permuted to bit-reversed)."""
+    q = lp.q
+    n1 = lp.n1
+    logn1 = n1.bit_length() - 1
+    br = nttmod.bit_reverse_perm(n1)
+    # static row permutation via concat of slices (pallas-safe)
+    x = jnp.concatenate([x[..., int(j):int(j) + 1, :] for j in br], axis=-2)
+    st = lp.st_i if inverse else lp.st_f
+    sts = lp.st_i_s if inverse else lp.st_f_s
+    for s in range(logn1):
+        m = 1 << (s + 1)
+        h = m >> 1
+        xg = x.reshape(*x.shape[:-2], n1 // m, m, LANES)
+        u = xg[..., :h, :]
+        v = shoup_mul(xg[..., h:, :],
+                      st[s].reshape(n1 // m, m, LANES)[..., :h, :],
+                      sts[s].reshape(n1 // m, m, LANES)[..., :h, :], q)
+        x = jnp.concatenate([add_mod(u, v, q), sub_mod(u, v, q)],
+                            axis=-2).reshape(*x.shape[:-2], n1, LANES)
+    return x
+
+
+def _recombine(lp: LanePlan, o: jax.Array) -> jax.Array:
+    """[..., d*128] int32 matmul output (lane-concatenated planes) ->
+    [..., 128] uint32 mod q (pairs-of-planes: one reduce_i32 per two
+    planes -- sums stay under the 2^30 reduce_i32 bound)."""
+    q = lp.q
+    L = LANES
+    p = lambda v: o[..., v * L:(v + 1) * L]
+    if lp.d == 4:
+        s01 = p(0) + (p(1) << 7)
+        s23 = p(2) + (p(3) << 7)
+        r = reduce_i32(s01, q)
+        r2 = shoup_mul(reduce_i32(s23, q), lp.comb14[0:1], lp.comb14[1:2], q)
+        return add_mod(r, r2, q)
+    if lp.d == 3:
+        s01 = p(0) + (p(1) << 7)
+        r = reduce_i32(s01, q)
+        r2 = shoup_mul(reduce_i32(p(2), q), lp.comb14[0:1],
+                       lp.comb14[1:2], q)
+        return add_mod(r, r2, q)
+    raise NotImplementedError(f"d={lp.d}")
+
+
+def _lane_matmul(planes: jax.Array, W: jax.Array) -> jax.Array:
+    """[..., din*128] int8 lane-concat planes x [din*128, d*128] ->
+    [..., d*128] int32.  Plane u occupies lanes [u*128, (u+1)*128) --
+    matching _build_digit_matrix's block-row layout -- so no sublane->lane
+    relayout is needed on either side."""
+    k = planes.shape[-1]
+    lead = planes.shape[:-1]
+    flat = planes.reshape(-1, k)
+    o = jax.lax.dot_general(flat, W, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return o.reshape(*lead, W.shape[1])
+
+
+def _decompose_u32(x: jax.Array, d: int) -> jax.Array:
+    """[..., 128] uint32 -> [..., d*128] int8 7-bit planes (lane-concat)."""
+    return jnp.concatenate(
+        [((x >> (7 * u)) & u32(127)).astype(jnp.int8) for u in range(d)],
+        axis=-1)
+
+
+def forward_lane_digits(lp: LanePlan, lo: jax.Array, hi: jax.Array
+                        ) -> jax.Array:
+    """Forward NTT of small signed values v = lo + 128*hi (balanced
+    base-128 planes), COEFF-interleaved [..., n1, 128] -> EVAL-natural.
+    lo/hi int8 [..., n1, 128]."""
+    planes = jnp.concatenate([lo, hi], axis=-1)      # [..., n1, 2*128]
+    o = _lane_matmul(planes, lp.W128f_s2)            # [..., n1, d*128]
+    y = _recombine(lp, o)                            # [..., n1, 128]
+    y = shoup_mul(y, lp.tw_f, lp.tw_f_s, lp.q)
+    return _sublane_dft(lp, y, inverse=False)
+
+
+def forward_lane(lp: LanePlan, x: jax.Array) -> jax.Array:
+    """Forward NTT of full-range uint32, COEFF-interleaved -> EVAL-natural.
+    x: [..., n1, 128] uint32 in [0, q)."""
+    planes = _decompose_u32(x, lp.d)
+    o = _lane_matmul(planes, lp.W128f)
+    y = _recombine(lp, o)
+    y = shoup_mul(y, lp.tw_f, lp.tw_f_s, lp.q)
+    return _sublane_dft(lp, y, inverse=False)
+
+
+def inverse_lane(lp: LanePlan, x: jax.Array) -> jax.Array:
+    """Inverse NTT, EVAL-natural [..., n1, 128] -> COEFF-interleaved."""
+    u = _sublane_dft(lp, x, inverse=True)
+    v = shoup_mul(u, lp.tw_i, lp.tw_i_s, lp.q)
+    planes = _decompose_u32(v, lp.d)
+    o = _lane_matmul(planes, lp.W128i)
+    return _recombine(lp, o)
+
+
+# ---------------------------------------------------------------------------
+# layout converters (host/XLA side; the kernel never permutes)
+# ---------------------------------------------------------------------------
+
+def coeff_to_interleaved(x: jax.Array, n1: int) -> jax.Array:
+    """[..., N] natural coefficients -> [..., n1, 128] with
+    [i1, i2] = x[i1 + n1*i2]."""
+    return x.reshape(*x.shape[:-1], LANES, n1).swapaxes(-1, -2)
+
+
+def interleaved_to_coeff(x: jax.Array) -> jax.Array:
+    return x.swapaxes(-1, -2).reshape(*x.shape[:-2], -1)
+
+
+def eval_to_blocked(x: jax.Array, n1: int) -> jax.Array:
+    """[..., N] natural evaluation -> [..., n1, 128] (plain reshape)."""
+    return x.reshape(*x.shape[:-1], n1, LANES)
+
+
+def blocked_to_eval(x: jax.Array) -> jax.Array:
+    return x.reshape(*x.shape[:-2], -1)

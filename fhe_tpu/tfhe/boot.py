@@ -301,6 +301,9 @@ def run_accumulator(params: TfheParams, key, test_vec: jax.Array,
     if ntt_impl == "mega" and isinstance(key, rgsw.BootstrapKey):
         from . import boot_pallas
         return boot_pallas.bootstrap_core_mega(params, key, test_vec, a)
+    if ntt_impl == "mega2" and isinstance(key, rgsw.BootstrapKey):
+        from . import boot_mxu
+        return boot_mxu.bootstrap_core_mega2(params, key, test_vec, a, mxu)
     B = test_vec.shape[0]
     acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
     acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl, mxu)[:, None, :]
@@ -341,7 +344,8 @@ def resolve_ntt(params: TfheParams, ntt_impl: str | None):
     if impl == "mxu" and params.N >= nttmod.FOURSTEP_MIN_N:
         impl = "fourstep"        # dense [dN, dN] table would be ~GBs
     plan = nttmod.make_plan(params.N, params.Q)
-    mxu = nttmod.make_mxu(params.N, params.Q) if impl == "mxu" else None
+    mxu = (nttmod.make_mxu(params.N, params.Q)
+           if impl in ("mxu", "mega2") else None)
     return impl, plan, mxu
 
 
@@ -359,7 +363,9 @@ def _jitted_finish(params: TfheParams, p: int, extended: bool,
         b = comb.b.reshape(-1)
         tv = make_gate_test_vector(params, b, consts)
         acc = run_accumulator(params, key, tv, a, ntt_impl, plan, mxu)
-        ct_ext = extract_lwe(params, acc, b_offset, ntt_impl, plan, mxu)
+        # megakernel v2 yields natural-order EVAL; extract rides the MXU
+        ex_impl = "mxu" if ntt_impl == "mega2" else ntt_impl
+        ct_ext = extract_lwe(params, acc, b_offset, ex_impl, plan, mxu)
         ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
                                    b=ct_ext.b.reshape(lead), modulus=Q,
                                    pt_mod=p)

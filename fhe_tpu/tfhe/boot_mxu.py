@@ -1,0 +1,251 @@
+"""Blind-rotate megakernel v2: the whole CGGI scan as ONE Pallas kernel
+with the NTTs on the MXU.
+
+Replaces the role of the reference GPU backend's fused batched PBS
+(/root/reference/src/core/include/math/hal/mlx/pbs_optimized.h:1-8,
+async_pipeline.h:50-95 double-buffered BSK prefetch), re-architected
+around the TPU's units:
+
+* NTTs are lane-factored (math/ntt_lane.py): the 128-point DFT factor is
+  an int8 digit-plane MXU matmul, the n1 = N/128 factor is log2(n1)
+  butterfly stages on the sublane axis -- ~8x fewer MXU MACs than the
+  dense [dN, dN] matmul the unfused path uses at N=1024, and ~3x fewer
+  VPU ops than all-butterfly stages;
+* the layout (EVAL natural / COEFF interleaved) makes every step
+  permutation-free -- no bit-reversal, no transposes, and the BSK and
+  monomial tables are consumed in their natural order;
+* grid = (batch_tiles, n): the accumulator block stays VMEM-resident for
+  all n steps of one tile (revisited output block), while the per-step
+  BSK slice is double-buffered HBM->VMEM by the Pallas grid pipeline;
+* the external product runs as constant-operand Shoup multiplies against
+  the Montgomery-form BSK (+ its Shoup dual), and ONE plain-form monomial
+  exponentiation chain serves both signs (the negative-index values are
+  the lane+sublane flip of the positive ones); the final mont_mul against
+  the Montgomery-formed external product cancels the R factor, so results
+  are bit-identical to boot.blind_rotate (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..math import ntt as nttmod
+from ..math import ntt_lane as nl
+from ..math.modmath import (U32, u32, add_mod, sub_mod, shoup_mul, mont_mul)
+from .params import TfheParams
+from . import boot, rgsw
+
+
+@functools.lru_cache(maxsize=None)
+def _mono_tables_blocked(N: int, Q: int):
+    """Plain monomial exp-by-squaring tables + Shoup duals, reshaped to
+    the kernel's [logm, n1, 128] natural-EVAL block layout."""
+    with jax.ensure_compile_time_eval():
+        tab, dual = boot._mono_sq_tables_plain(N, Q)
+        n1 = N // nl.LANES
+        logm = tab.shape[0]
+        return (jnp.asarray(tab.reshape(logm, n1, nl.LANES)),
+                jnp.asarray(dual.reshape(logm, n1, nl.LANES)))
+
+
+def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
+               params: TfheParams, zlb: int):
+    """One CGGI accumulator update, all in VMEM.
+
+    acc  [Bt, 2, n1, 128] uint32 natural-EVAL, plain form;
+    bskm/bsks [2, dG2, 2, n1, 128] Montgomery form + Shoup duals;
+    ip   [Bt, 1] uint32 rotation indices (multiples of 2N/q);
+    mono/mono_s [logm, n1, 128] plain psi-power tables."""
+    Q = params.Q
+    N = params.N
+    n1 = lp.n1
+    Bt = acc.shape[0]
+    dgt = params.digits_g
+    dg2 = params.digits_g2
+    bg = params.base_g
+    g_bits = bg.bit_length() - 1
+
+    # ---- inverse NTT (EVAL natural -> COEFF interleaved) ----
+    c = nl.inverse_lane(lp, acc)                       # [Bt, 2, n1, 128]
+
+    # ---- parallel balanced digit decompose (digit 0 dropped) ----
+    d = c.astype(jnp.int32)
+    d = jnp.where(d >= jnp.int32(Q >> 1), d - jnp.int32(Q), d)
+    offset = sum((bg >> 1) << (g_bits * t) for t in range(dgt))
+    ud = d + jnp.int32(offset)
+    digs = [((ud >> (g_bits * t)) & jnp.int32(bg - 1)) - jnp.int32(bg >> 1)
+            for t in range(1, dgt)]
+    digits = jnp.stack(digs, axis=1)                   # [Bt, dg, 2, n1, 128]
+    digits = digits.reshape(Bt, dg2, n1, nl.LANES)
+
+    # ---- forward NTT of digits (MXU signed 2-plane path) ----
+    lo, hi = nttmod.balanced_base128(digits)
+    d_eval = nl.forward_lane_digits(lp, lo, hi)        # [Bt, dg2, n1, 128]
+
+    # ---- external products (Shoup, Montgomery-formed results) ----
+    def ext(sign):
+        # d_eval[:, r:r+1] (lax.slice) -- int+newaxis indexing would
+        # lower to a >2D gather, which Mosaic rejects
+        accp = shoup_mul(d_eval[:, 0:1], bskm[sign, 0], bsks[sign, 0], Q)
+        for r in range(1, dg2):
+            accp = add_mod(
+                accp, shoup_mul(d_eval[:, r:r + 1], bskm[sign, r],
+                                bsks[sign, r], Q), Q)
+        return accp                                    # [Bt, 2, n1, 128]
+
+    ep_pos = ext(0)
+    ep_neg = ext(1)
+
+    # ---- plain monomial chains (X^idx - 1, X^-idx - 1).  The negative
+    # index runs its own chain on (2N - idx): the value-flip identity
+    # (mono_n = lane+sublane flip of the positive chain) would save it,
+    # but lax.rev lowers to an unsupported gather in Mosaic today. ----
+    def chain(idx):
+        w = jnp.full((Bt, n1, nl.LANES), np.uint32(1), dtype=U32)
+        for j in range(zlb, mono.shape[0]):
+            bit = ((idx >> j) & u32(1))[..., None]     # [Bt, 1, 1]
+            wm = shoup_mul(w, mono[j][None], mono_s[j][None], Q)
+            w = jnp.where(bit == 1, wm, w)
+        return w
+
+    one = u32(np.uint32(1))
+    mono_p = sub_mod(chain(ip), one, Q)
+    ineg = (u32(2 * N) - ip) & u32(2 * N - 1)
+    mono_n = sub_mod(chain(ineg), one, Q)
+
+    qinv = u32(nttmod.make_plan(N, Q).qinv_neg)
+    upd = add_mod(mont_mul(ep_pos, mono_p[:, None], Q, qinv),
+                  mont_mul(ep_neg, mono_n[:, None], Q, qinv), Q)
+    return add_mod(acc, upd, Q)
+
+
+_LP_FIELDS = ("W128f_s2", "W128i", "tw_f", "tw_f_s", "tw_i", "tw_i_s",
+              "st_f", "st_f_s", "st_i", "st_i_s", "comb14")
+
+
+def _mega_kernel(acc0_ref, bskm_ref, bsks_ref, ip_ref,
+                 mono_ref, monos_ref, *rest, params: TfheParams,
+                 lp_static: nl.LanePlan, zlb: int):
+    import dataclasses
+    lp_refs, out_ref = rest[:-1], rest[-1]
+    lp = dataclasses.replace(
+        lp_static, **{f: r[:] for f, r in zip(_LP_FIELDS, lp_refs)})
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = acc0_ref[:]
+
+    out_ref[:] = _step_body(out_ref[:], bskm_ref[0], bsks_ref[0],
+                            ip_ref[0, 0], lp, mono_ref[:], monos_ref[:],
+                            params, zlb)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _mega_call(params: TfheParams, Bt: int, n: int, zlb: int):
+    N = params.N
+    dg2 = params.digits_g2
+    lp = nl.make_lane_plan(N, params.Q)
+    n1 = lp.n1
+    L = nl.LANES
+    logm = (2 * N).bit_length() - 1
+    kern = functools.partial(_mega_kernel, params=params, lp_static=lp,
+                             zlb=zlb)
+    ms = pltpu.ANY if _interpret() else pltpu.VMEM
+    lp_arrays = tuple(getattr(lp, f) for f in _LP_FIELDS)
+
+    def full_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, j, _n=nd: (0,) * _n,
+                            memory_space=ms)
+
+    def call(acc, bskm, bsks, ip, mono, mono_s):
+        B = acc.shape[0]
+        grid = (B // Bt, n)
+        specs = [
+            pl.BlockSpec((Bt, 2, n1, L), lambda i, j: (i, 0, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, 2, dg2, 2, n1, L),
+                         lambda i, j: (j, 0, 0, 0, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, 2, dg2, 2, n1, L),
+                         lambda i, j: (j, 0, 0, 0, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, 1, Bt, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((logm, n1, L), lambda i, j: (0, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((logm, n1, L), lambda i, j: (0, 0, 0),
+                         memory_space=ms),
+        ] + [full_spec(t) for t in lp_arrays]
+        params_c = None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec((Bt, 2, n1, L), lambda i, j: (i, 0, 0, 0),
+                                   memory_space=ms),
+            out_shape=jax.ShapeDtypeStruct((B, 2, n1, L), jnp.uint32),
+            compiler_params=params_c,
+            interpret=_interpret(),
+        )(acc, bskm, bsks, ip, mono, mono_s, *lp_arrays)
+    return call
+
+
+def blind_rotate_mega2(params: TfheParams, bsk: jax.Array,
+                       bsk_shoup: jax.Array, acc: jax.Array, a: jax.Array,
+                       tile: int | None = None) -> jax.Array:
+    """Whole-scan fused CGGI accumulation (megakernel v2).
+
+    bsk/bsk_shoup: [n, 2, dG2, 2, N] natural-EVAL Montgomery (+ duals);
+    acc: [B, 2, N] natural-EVAL plain; a: [B, n] LWE mask mod q.
+    Returns the final accumulator [B, 2, N], natural EVAL -- bit-exact vs
+    boot.blind_rotate."""
+    import os
+    N, q = params.N, params.q
+    n = bsk.shape[0]
+    n1 = N // nl.LANES
+    m_by = (2 * N) // q
+    zlb = (m_by.bit_length() - 1) if (m_by & (m_by - 1)) == 0 else 0
+    idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by)) & u32(2 * N - 1)
+    B = acc.shape[0]
+    tile = tile if tile is not None else int(
+        os.environ.get("FHE_MEGA_TILE", "128"))
+    Bt = min(tile, -(-B // 8) * 8)
+    Bp = -(-B // Bt) * Bt
+    if Bp != B:
+        acc = jnp.pad(acc, ((0, Bp - B), (0, 0), (0, 0)))
+        idx_pos = jnp.pad(idx_pos, ((0, Bp - B), (0, 0)))
+    TI = Bp // Bt
+    ip4 = idx_pos.reshape(TI, Bt, n).transpose(0, 2, 1)[..., None]
+    mono, mono_s = _mono_tables_blocked(N, params.Q)
+    call = _mega_call(params, Bt, n, zlb)
+    acc_b = acc.reshape(Bp, 2, n1, nl.LANES)
+    bskm = bsk.reshape(n, 2, params.digits_g2, 2, n1, nl.LANES)
+    bsks = bsk_shoup.reshape(n, 2, params.digits_g2, 2, n1, nl.LANES)
+    out = call(acc_b, bskm, bsks, ip4, mono, mono_s)
+    return out.reshape(Bp, 2, N)[:B]
+
+
+def bootstrap_core_mega2(params: TfheParams, key: rgsw.BootstrapKey,
+                         test_vec: jax.Array, a: jax.Array,
+                         mxu: "nttmod.MxuTables | None" = None) -> jax.Array:
+    """Drop-in for boot.bootstrap_core with impl='mega2': natural-order
+    EVAL in and out, no key or table permutations."""
+    assert key.bsk_shoup is not None
+    plan = nttmod.make_plan(params.N, params.Q)
+    B = test_vec.shape[0]
+    impl = "mxu" if mxu is not None else "butterfly"
+    acc1 = nttmod.ntt_forward(plan, test_vec, impl, mxu)[:, None, :]
+    acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
+    acc = jnp.concatenate([acc0, acc1], axis=1)
+    return blind_rotate_mega2(params, key.bsk, key.bsk_shoup, acc, a)
