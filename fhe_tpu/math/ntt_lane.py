@@ -68,6 +68,12 @@ class LanePlan:
     st_f_s: jax.Array
     st_i: jax.Array
     st_i_s: jax.Array
+    # roll-based DIF (natural->BR) / DIT (BR->natural) stage twiddles for
+    # the megakernel: same [logn1, n1, 128] lane-broadcast layout
+    st2_f: jax.Array
+    st2_f_s: jax.Array
+    st2_i: jax.Array
+    st2_i_s: jax.Array
     # recombination constants, lane-broadcast: row 0 = 2^14 mod q,
     # row 1 = its shoup dual
     comb14: jax.Array     # [2, 128]
@@ -149,8 +155,25 @@ def _make_lane_plan(N: int, q: int) -> LanePlan:
             # w^( (t mod m/2) * n1/m )
             st_f[s, j, 0] = omp[((t % (m // 2)) * (n1 // m)) % n1]
             st_i[s, j, 0] = ompi[((t % (m // 2)) * (n1 // m)) % n1]
+    # roll-based stage tables.  DIF forward, stage s (block m = n1 >> s,
+    # half h = m/2): hi rows p compute (x[p-h] - x[p]) * (w^{2^s})^{p mod h};
+    # DIT inverse, stage s (m = 2^{s+1}, h = 2^s): twiddle
+    # (w^{-1})^{((p mod m) mod h) * (n1/m)} multiplies the partner (lo rows)
+    # or self (hi rows).
+    st2_f = np.zeros((logn1, n1, 1), dtype=np.uint32)
+    st2_i = np.zeros((logn1, n1, 1), dtype=np.uint32)
+    for s in range(logn1):
+        m_f = n1 >> s
+        h_f = m_f >> 1
+        m_i = 1 << (s + 1)
+        h_i = m_i >> 1
+        for p in range(n1):
+            st2_f[s, p, 0] = omp[(((p % m_f) % h_f) << s) % n1]
+            st2_i[s, p, 0] = ompi[(((p % m_i) % h_i) * (n1 // m_i)) % n1]
+
     bcast = lambda a: np.broadcast_to(a, a.shape[:-1] + (LANES,)).copy()
     st_f, st_i = bcast(st_f), bcast(st_i)
+    st2_f, st2_i = bcast(st2_f), bcast(st2_i)
     comb14 = bcast(np.array(
         [[(1 << 14) % q], [shoup_precompute((1 << 14) % q, q)]],
         dtype=np.uint32))
@@ -164,6 +187,8 @@ def _make_lane_plan(N: int, q: int) -> LanePlan:
         tw_i_s=jnp.asarray(shoup_arr(tw_i)),
         st_f=jnp.asarray(st_f), st_f_s=jnp.asarray(shoup_arr(st_f)),
         st_i=jnp.asarray(st_i), st_i_s=jnp.asarray(shoup_arr(st_i)),
+        st2_f=jnp.asarray(st2_f), st2_f_s=jnp.asarray(shoup_arr(st2_f)),
+        st2_i=jnp.asarray(st2_i), st2_i_s=jnp.asarray(shoup_arr(st2_i)),
         comb14=jnp.asarray(comb14),
     )
 
@@ -268,6 +293,79 @@ def inverse_lane(lp: LanePlan, x: jax.Array) -> jax.Array:
     planes = _decompose_u32(v, lp.d)
     o = _lane_matmul(planes, lp.W128i)
     return _recombine(lp, o)
+
+
+# ---------------------------------------------------------------------------
+# roll-based sublane DFT (megakernel variant): DIF forward emits the
+# sublane axis in bit-reversed order and DIT inverse consumes it, so the
+# EVAL-side storage order is "sublane-BR" and NO permutation ever runs
+# inside the kernel (BSK/monomial tables are BR-permuted once at load).
+# `roll(x, shift)` must rotate axis -2; the kernel passes a pltpu.roll
+# wrapper, tests pass jnp.roll.
+# ---------------------------------------------------------------------------
+
+def sublane_dif(lp: LanePlan, x: jax.Array, roll) -> jax.Array:
+    """Forward cyclic DFT-n1 over axis -2: natural in, BIT-REVERSED out."""
+    q = lp.q
+    n1 = lp.n1
+    logn1 = n1.bit_length() - 1
+    pos = None
+    for s in range(logn1):
+        m = n1 >> s
+        h = m >> 1
+        if pos is None:
+            pos = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 2)
+        lo = ((pos // u32(h)) & u32(1)) == 0
+        partner = jnp.where(lo, roll(x, -h), roll(x, h))
+        x = jnp.where(lo, add_mod(x, partner, q),
+                      shoup_mul(sub_mod(partner, x, q),
+                                lp.st2_f[s], lp.st2_f_s[s], q))
+    return x
+
+
+def sublane_dit(lp: LanePlan, x: jax.Array, roll) -> jax.Array:
+    """Inverse-root cyclic DFT-n1 over axis -2: BIT-REVERSED in, natural
+    out (no 1/n1 -- folded into W128i)."""
+    q = lp.q
+    n1 = lp.n1
+    logn1 = n1.bit_length() - 1
+    pos = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 2)
+    for s in range(logn1):
+        h = 1 << s
+        lo = ((pos // u32(h)) & u32(1)) == 0
+        partner = jnp.where(lo, roll(x, -h), roll(x, h))
+        tv = shoup_mul(jnp.where(lo, partner, x),
+                       lp.st2_i[s], lp.st2_i_s[s], q)
+        x = jnp.where(lo, add_mod(x, tv, q), sub_mod(partner, tv, q))
+    return x
+
+
+def _jnp_roll2(x, shift):
+    return jnp.roll(x, shift, axis=-2)
+
+
+def forward_lane_digits_br(lp: LanePlan, lo: jax.Array, hi: jax.Array,
+                           roll=_jnp_roll2) -> jax.Array:
+    """forward_lane_digits with sublane-BR EVAL output (kernel order)."""
+    planes = jnp.concatenate([lo, hi], axis=-1)
+    o = _lane_matmul(planes, lp.W128f_s2)
+    y = _recombine(lp, o)
+    y = shoup_mul(y, lp.tw_f, lp.tw_f_s, lp.q)
+    return sublane_dif(lp, y, roll)
+
+
+def inverse_lane_br(lp: LanePlan, x: jax.Array,
+                    roll=_jnp_roll2) -> jax.Array:
+    """inverse_lane consuming sublane-BR EVAL input (kernel order)."""
+    u = sublane_dit(lp, x, roll)
+    v = shoup_mul(u, lp.tw_i, lp.tw_i_s, lp.q)
+    planes = _decompose_u32(v, lp.d)
+    o = _lane_matmul(planes, lp.W128i)
+    return _recombine(lp, o)
+
+
+def br_perm(n1: int) -> np.ndarray:
+    return nttmod.bit_reverse_perm(n1)
 
 
 # ---------------------------------------------------------------------------

@@ -336,6 +336,22 @@ def extract_lwe(params: TfheParams, acc: jax.Array, b_offset,
     return lwe.LweCiphertext(a=a_coef, b=b, modulus=Q, pt_mod=4)
 
 
+def auto_gate_impl(params: TfheParams, key) -> str | None:
+    """Pick the gate-pipeline accumulator implementation: the lane-factored
+    MXU megakernel (boot_mxu) wherever it applies on TPU -- measured 3,871
+    gates/s vs 1,395 for the unfused dense-MXU path at STD128 b2048."""
+    from . import rgsw
+    if (jax.default_backend() == "tpu"
+            and isinstance(key, rgsw.BootstrapKey)
+            and key.bsk_shoup is not None
+            and params.Q < (1 << 31)
+            and params.N % 128 == 0
+            and (params.N // 128) & (params.N // 128 - 1) == 0
+            and -(-params.Q.bit_length() // 7) in (3, 4)):
+        return "mega2"
+    return None
+
+
 def resolve_ntt(params: TfheParams, ntt_impl: str | None):
     """Host: resolve the NTT implementation and fetch plan + (lazy) MXU
     tables.  Tables are returned so callers pass them as jit ARGUMENTS --
@@ -415,6 +431,8 @@ def _finish_gate(params: TfheParams, key, gate: Gate,
                  ntt_impl: str | None) -> lwe.LweCiphertext:
     consts = jnp.asarray(gate_constants(params, gate, p))
     b_offset = jnp.asarray(np.uint32(params.Q // (p * 2) + 1))
+    if ntt_impl is None:
+        ntt_impl = auto_gate_impl(params, key)
     impl, plan, mxu = resolve_ntt(params, ntt_impl)
     from . import acc as accmod
     if isinstance(key, accmod.LmkcdeyKey):

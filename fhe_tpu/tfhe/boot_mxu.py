@@ -54,14 +54,20 @@ def _mono_tables_blocked(N: int, Q: int):
                 jnp.asarray(dual.reshape(logm, n1, nl.LANES)))
 
 
+def _roll2(x, s):
+    """Rotate axis -2 (sublanes) by s (any sign) inside the kernel."""
+    n = x.shape[-2]
+    return pltpu.roll(x, s % n, axis=x.ndim - 2)
+
+
 def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
                params: TfheParams, zlb: int):
     """One CGGI accumulator update, all in VMEM.
 
-    acc  [Bt, 2, n1, 128] uint32 natural-EVAL, plain form;
-    bskm/bsks [2, dG2, 2, n1, 128] Montgomery form + Shoup duals;
+    acc  [Bt, 2, n1, 128] uint32 sublane-BR EVAL, plain form;
+    bskm/bsks [2, dG2, 2, n1, 128] Montgomery form + Shoup duals (BR);
     ip   [Bt, 1] uint32 rotation indices (multiples of 2N/q);
-    mono/mono_s [logm, n1, 128] plain psi-power tables."""
+    mono/mono_s [logm, n1, 128] plain psi-power tables (BR)."""
     Q = params.Q
     N = params.N
     n1 = lp.n1
@@ -71,8 +77,8 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
     bg = params.base_g
     g_bits = bg.bit_length() - 1
 
-    # ---- inverse NTT (EVAL natural -> COEFF interleaved) ----
-    c = nl.inverse_lane(lp, acc)                       # [Bt, 2, n1, 128]
+    # ---- inverse NTT (sublane-BR EVAL -> COEFF interleaved) ----
+    c = nl.inverse_lane_br(lp, acc, _roll2)            # [Bt, 2, n1, 128]
 
     # ---- parallel balanced digit decompose (digit 0 dropped) ----
     d = c.astype(jnp.int32)
@@ -86,7 +92,7 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
 
     # ---- forward NTT of digits (MXU signed 2-plane path) ----
     lo, hi = nttmod.balanced_base128(digits)
-    d_eval = nl.forward_lane_digits(lp, lo, hi)        # [Bt, dg2, n1, 128]
+    d_eval = nl.forward_lane_digits_br(lp, lo, hi, _roll2)
 
     # ---- external products (Shoup, Montgomery-formed results) ----
     def ext(sign):
@@ -126,7 +132,7 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
 
 
 _LP_FIELDS = ("W128f_s2", "W128i", "tw_f", "tw_f_s", "tw_i", "tw_i_s",
-              "st_f", "st_f_s", "st_i", "st_i_s", "comb14")
+              "st2_f", "st2_f_s", "st2_i", "st2_i_s", "comb14")
 
 
 def _mega_kernel(acc0_ref, bskm_ref, bsks_ref, ip_ref,
@@ -218,8 +224,10 @@ def blind_rotate_mega2(params: TfheParams, bsk: jax.Array,
     zlb = (m_by.bit_length() - 1) if (m_by & (m_by - 1)) == 0 else 0
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by)) & u32(2 * N - 1)
     B = acc.shape[0]
+    # swept on v5e at STD128 b2048: 3546/3820/3871 gates/s at 128/256/512
+    # (512 costs ~3x the compile time for +1%)
     tile = tile if tile is not None else int(
-        os.environ.get("FHE_MEGA_TILE", "128"))
+        os.environ.get("FHE_MEGA_TILE", "256"))
     Bt = min(tile, -(-B // 8) * 8)
     Bp = -(-B // Bt) * Bt
     if Bp != B:
@@ -229,11 +237,16 @@ def blind_rotate_mega2(params: TfheParams, bsk: jax.Array,
     ip4 = idx_pos.reshape(TI, Bt, n).transpose(0, 2, 1)[..., None]
     mono, mono_s = _mono_tables_blocked(N, params.Q)
     call = _mega_call(params, Bt, n, zlb)
-    acc_b = acc.reshape(Bp, 2, n1, nl.LANES)
-    bskm = bsk.reshape(n, 2, params.digits_g2, 2, n1, nl.LANES)
-    bsks = bsk_shoup.reshape(n, 2, params.digits_g2, 2, n1, nl.LANES)
-    out = call(acc_b, bskm, bsks, ip4, mono, mono_s)
-    return out.reshape(Bp, 2, N)[:B]
+    # the kernel's EVAL order is sublane-BR (the DIF/DIT butterflies are
+    # permutation-free in that order); permute all EVAL-side operands
+    # once at the boundary
+    br = jnp.asarray(nl.br_perm(n1))
+    tobr = lambda x: jnp.take(x, br, axis=-2)
+    acc_b = tobr(acc.reshape(Bp, 2, n1, nl.LANES))
+    bskm = tobr(bsk.reshape(n, 2, params.digits_g2, 2, n1, nl.LANES))
+    bsks = tobr(bsk_shoup.reshape(n, 2, params.digits_g2, 2, n1, nl.LANES))
+    out = call(acc_b, bskm, bsks, ip4, tobr(mono), tobr(mono_s))
+    return tobr(out).reshape(Bp, 2, N)[:B]
 
 
 def bootstrap_core_mega2(params: TfheParams, key: rgsw.BootstrapKey,
