@@ -272,19 +272,35 @@ def make_func_test_vector(params: TfheParams, b: jax.Array, f_table: jax.Array,
                            ).reshape(b.shape + (N,))
 
 
-def bootstrap_core(params: TfheParams, bsk: jax.Array, test_vec: jax.Array,
+def bootstrap_core(params: TfheParams, bsk, test_vec: jax.Array,
                    a: jax.Array, ntt_impl: str | None = None,
                    a_modulus: int | None = None,
                    plan: nttmod.NttPlan | None = None,
                    mxu: "nttmod.MxuTables | None" = None):
     """Blind-rotate a COEFFICIENT test vector by the mask `a`; returns the
-    accumulator [B, 2, N] in EVALUATION format."""
+    accumulator [B, 2, N] in EVALUATION format.
+
+    bsk: raw key array, or a full rgsw.BootstrapKey (required for the
+    'mega2' megakernel, which needs the Shoup dual)."""
     plan = plan if plan is not None else nttmod.make_plan(params.N, params.Q)
     B = test_vec.shape[0]
+    key = bsk if isinstance(bsk, rgsw.BootstrapKey) else None
+    if ntt_impl == "mega2" and key is not None:
+        from . import boot_mxu
+        impl = "mxu" if mxu is not None else (
+            "mxu" if jax.default_backend() == "tpu" else "butterfly")
+        acc1 = nttmod.ntt_forward(plan, test_vec, impl, mxu)[:, None, :]
+        acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
+        acc = jnp.concatenate([acc0, acc1], axis=1)
+        return boot_mxu.blind_rotate_mega2(params, key.bsk, key.bsk_shoup,
+                                           acc, a, a_modulus=a_modulus)
+    bsk_arr = key.bsk if key is not None else bsk
+    bsk_sh = key.bsk_shoup if key is not None else None
     acc0 = jnp.zeros((B, 1, params.N), dtype=U32)
     acc1 = nttmod.ntt_forward(plan, test_vec, ntt_impl, mxu)[:, None, :]
     acc = jnp.concatenate([acc0, acc1], axis=1)
-    return blind_rotate(params, bsk, acc, a, ntt_impl, a_modulus, plan, mxu)
+    return blind_rotate(params, bsk_arr, acc, a, ntt_impl, a_modulus, plan,
+                        mxu, bsk_shoup=bsk_sh)
 
 
 def run_accumulator(params: TfheParams, key, test_vec: jax.Array,

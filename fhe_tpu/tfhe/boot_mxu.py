@@ -209,7 +209,8 @@ def _mega_call(params: TfheParams, Bt: int, n: int, zlb: int):
 
 def blind_rotate_mega2(params: TfheParams, bsk: jax.Array,
                        bsk_shoup: jax.Array, acc: jax.Array, a: jax.Array,
-                       tile: int | None = None) -> jax.Array:
+                       tile: int | None = None,
+                       a_modulus: int | None = None) -> jax.Array:
     """Whole-scan fused CGGI accumulation (megakernel v2).
 
     bsk/bsk_shoup: [n, 2, dG2, 2, N] natural-EVAL Montgomery (+ duals);
@@ -217,7 +218,8 @@ def blind_rotate_mega2(params: TfheParams, bsk: jax.Array,
     Returns the final accumulator [B, 2, N], natural EVAL -- bit-exact vs
     boot.blind_rotate."""
     import os
-    N, q = params.N, params.q
+    N = params.N
+    q = params.q if a_modulus is None else a_modulus
     n = bsk.shape[0]
     n1 = N // nl.LANES
     m_by = (2 * N) // q

@@ -62,6 +62,8 @@ def bootstrap_func(params: TfheParams, key: rgsw.BootstrapKey,
     """BootstrapFunc (:630-650): functional bootstrap with LUT f_table
     over Z_{ct.modulus} -> Z_{f_mod}; output modulus f_mod."""
     ct_mod = ct.modulus
+    if ntt_impl is None:
+        ntt_impl = boot.auto_gate_impl(params, key)
     impl, plan, mxu = boot.resolve_ntt(params, ntt_impl)
     fn = _jitted_func_boot(params, ct_mod, f_mod, ct.pt_mod, impl)
     tbl = jnp.asarray(np.asarray(f_table, dtype=np.uint32))
@@ -85,10 +87,11 @@ def _jitted_func_boot(params: TfheParams, ct_mod: int, f_mod: int,
         vals = u32(Q // f_mod) * fv
         tv = jnp.zeros(b.shape + (N,), dtype=U32)
         tv = tv.at[:, ::factor].set(vals)
-        acc = boot.bootstrap_core(params, key.bsk, tv, a, ntt_impl,
+        acc = boot.bootstrap_core(params, key, tv, a, ntt_impl,
                                   a_modulus=ct_mod, plan=plan, mxu=mxu)
+        ex_impl = "mxu" if ntt_impl == "mega2" else ntt_impl
         ct_ext = boot.extract_lwe(params, acc, jnp.asarray(np.uint32(0)),
-                                  ntt_impl, plan, mxu)
+                                  ex_impl, plan, mxu)
         ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, N),
                                    b=ct_ext.b.reshape(lead), modulus=Q,
                                    pt_mod=pt_mod)
