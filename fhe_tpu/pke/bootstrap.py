@@ -483,20 +483,22 @@ def _q0(ctx: CkksContext) -> int:
 def _raise_to_full(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
     """Drop to the base block q0 (cd limbs), lift coefficients (centered)
     and re-embed over the full chain (ckksrns-fhe.cpp raising :523: only
-    the level-0 tower is used; here the level-0 composite block)."""
+    the level-0 tower is used; here the level-0 composite block).
+
+    The centered lift runs ON DEVICE as the exact HPS basis switch with
+    the [-q0/2, q0/2) representative (bit-identical to an exact host
+    CRT lift, tested) -- this keeps the WHOLE bootstrap jittable."""
     full_mods = tuple(ctx.params.moduli)
     cd = ctx.cd
     q0 = _q0(ctx)
     drop = len(ct.moduli) - cd
     c0 = rns.level_reduce(ct.c0, drop) if drop else ct.c0
     c1 = rns.level_reduce(ct.c1, drop) if drop else ct.c1
-    half = q0 // 2
 
     def lift(p: rns.RnsPoly) -> rns.RnsPoly:
-        big = rns.to_bigint(rns.to_coeff(p))          # python ints mod q0
-        signed = np.array([int(x) - q0 if int(x) > half else int(x)
-                           for x in big], dtype=object)
-        return rns.to_eval(rlwe.signed_to_rns(signed, full_mods))
+        ext = rns.switch_crt_basis_exact(rns.to_coeff(p), full_mods,
+                                         centered=True)
+        return rns.to_eval(ext)
 
     # value = w/q0 + I with w = scale*z + e; scale relabel happens at the end
     return Ciphertext(lift(c0), lift(c1), float(q0))

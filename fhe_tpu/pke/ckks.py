@@ -201,13 +201,21 @@ class CkksContext:
         pk = rlwe.pubkey_gen(self.params, sk, rng)
         return sk, pk
 
-    def relin_key_gen(self, sk: rlwe.SecretKey, rng) -> rlwe.EvalKey:
+    def relin_key_gen(self, sk: rlwe.SecretKey, rng,
+                      method: str = "hybrid",
+                      digit_bits: int = 0) -> rlwe.EvalKey:
+        """method: 'hybrid' (default, keyswitch-hybrid.cpp) or 'bv'
+        (keyswitch-bv.cpp digit decomposition, relinWindow=digit_bits)."""
         mods = tuple(self.params.moduli)
         s = sk.eval_poly(mods)
         s2 = rns.mul(s, s)
+        if method == "bv":
+            return rlwe.bv_evk_gen(self.params, s2, sk, rng,
+                                   digit_bits=digit_bits)
         return rlwe.evk_gen(self.params, s2, sk, rng)
 
-    def rotation_key_gen(self, sk: rlwe.SecretKey, rots, rng
+    def rotation_key_gen(self, sk: rlwe.SecretKey, rots, rng,
+                         method: str = "hybrid", digit_bits: int = 0
                          ) -> dict[int, rlwe.EvalKey]:
         """Keys for slot rotations (EvalRotateKeyGen); index r -> galois
         element 5^r mod 2N."""
@@ -218,7 +226,11 @@ class CkksContext:
         for r in rots:
             k = pow(5, r % (2 * N), 2 * N)
             s_k = rns.automorphism(s, k)
-            out[r] = rlwe.evk_gen(self.params, s_k, sk, rng)
+            if method == "bv":
+                out[r] = rlwe.bv_evk_gen(self.params, s_k, sk, rng,
+                                         digit_bits=digit_bits)
+            else:
+                out[r] = rlwe.evk_gen(self.params, s_k, sk, rng)
         return out
 
     def conj_key_gen(self, sk: rlwe.SecretKey, rng) -> rlwe.EvalKey:

@@ -18,11 +18,19 @@ from . import rlwe
 
 
 def re_key_gen(params, sk_old: rlwe.SecretKey, sk_new: rlwe.SecretKey,
-               rng: np.random.Generator) -> rlwe.EvalKey:
-    """Re-encryption key sOld -> sNew (base-pre.cpp ReKeyGen)."""
+               rng: np.random.Generator, method: str = "hybrid",
+               digit_bits: int = 0) -> rlwe.EvalKey:
+    """Re-encryption key sOld -> sNew (base-pre.cpp ReKeyGen).
+
+    method='bv' uses the digit-decomposition switch the reference pairs
+    with PRE for low-depth configs (keyswitch-bv.cpp, relinWindow =
+    digit_bits)."""
     ns = params.plain_mod if params.scheme == "BGV" else 1
     mods = tuple(params.moduli)
     s_old = sk_old.eval_poly(mods)
+    if method == "bv":
+        return rlwe.bv_evk_gen(params, s_old, sk_new, rng,
+                               digit_bits=digit_bits, noise_scale=ns)
     return rlwe.evk_gen(params, s_old, sk_new, rng, noise_scale=ns)
 
 

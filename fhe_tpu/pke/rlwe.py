@@ -60,6 +60,23 @@ class EvalKey:
     num_per_part: int = dataclasses.field(metadata=dict(static=True))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BvEvalKey:
+    """BV (digit-decomposition) switching key
+    (keyswitch-bv.cpp:48-137): one (b, a) RLWE pair over the FULL chain
+    per key row; row (i, k) encrypts B^k * s_old_i placed on limb i only
+    (PowersOfBase + per-tower filtering).
+
+    b/a: [n_rows, L, N] uint32 EVAL; digit_bits = 0 means per-tower-only
+    decomposition (relinWindow 0)."""
+    b: jax.Array
+    a: jax.Array
+    moduli: tuple = dataclasses.field(metadata=dict(static=True))
+    digit_bits: int = dataclasses.field(metadata=dict(static=True))
+    rows_per_limb: tuple = dataclasses.field(metadata=dict(static=True))
+
+
 def sample_ternary(rng: np.random.Generator, N: int,
                    h: int | None = None) -> np.ndarray:
     """Uniform ternary secret, or sparse ternary with Hamming weight h
@@ -285,10 +302,113 @@ def key_switch_apply(params, evk: EvalKey, ups: list[RnsPoly]
             key_switch_down_poly(params, d1))
 
 
-def key_switch(params, evk: EvalKey, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
-    """Apply HYBRID key switch to poly c over (possibly truncated) basis
-    Q_l (KeySwitchCore/EvalFastKeySwitchCore).
+def key_switch(params, evk, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
+    """Apply a key switch to poly c over (possibly truncated) basis Q_l,
+    dispatching on the key type: HYBRID (KeySwitchCore /
+    EvalFastKeySwitchCore) or BV (keyswitch-bv.cpp KeySwitchCore).
 
     Returns (d0, d1) over c's basis with d0 + d1*s_new = c*s_old + noise.
     """
+    if isinstance(evk, BvEvalKey):
+        return bv_key_switch(params, evk, c)
     return key_switch_apply(params, evk, key_switch_precompute(params, c))
+
+
+# ---------------------------------------------------------------------------
+# BV key switching (digit decomposition; keyswitch-bv.cpp:48-336)
+# ---------------------------------------------------------------------------
+
+def _bv_windows(moduli: tuple, digit_bits: int) -> tuple:
+    """Windows per limb: ceil(bits(q_i)/w), or 1 when digit_bits == 0."""
+    if digit_bits == 0:
+        return tuple(1 for _ in moduli)
+    return tuple(-(-q.bit_length() // digit_bits) for q in moduli)
+
+
+def bv_evk_gen(params, s_old: RnsPoly, sk_new: SecretKey,
+               rng: np.random.Generator, digit_bits: int = 0,
+               noise_scale: int = 1) -> BvEvalKey:
+    """BV switching key s_old -> sk_new (KeySwitchGenInternal,
+    keyswitch-bv.cpp:50-123): row (i, k) has b = filtered - (a*s_new +
+    ns*e) with filtered = B^k * s_old_i on limb i, zero elsewhere."""
+    q_mods = tuple(params.moduli)
+    L = len(q_mods)
+    N = params.N
+    s_new = sk_new.eval_poly(q_mods)
+    wins = _bv_windows(q_mods, digit_bits)
+    bs, as_ = [], []
+    for i, qi in enumerate(q_mods):
+        s_i = s_old.data[i]                      # [N] EVAL residues mod q_i
+        for k in range(wins[i]):
+            a = uniform_poly(rng, q_mods, N)
+            e = rns.to_eval(signed_to_rns(
+                noise_scale * sample_gauss(rng, N, params.std_dev), q_mods))
+            b = rns.add(rns.neg(rns.mul(a, s_new)), e)
+            pw = pow(2, digit_bits * k, int(qi)) if digit_bits else 1
+            filt = jnp.zeros((L, N), dtype=jnp.uint32)
+            val = rns.mul_scalar(
+                RnsPoly(s_i[None, :], (qi,), EVAL), pw).data[0]
+            filt = filt.at[i].set(val)
+            b = rns.add(b, RnsPoly(filt, q_mods, EVAL))
+            bs.append(b.data)
+            as_.append(a.data)
+    return BvEvalKey(b=jnp.stack(bs), a=jnp.stack(as_), moduli=q_mods,
+                     digit_bits=digit_bits, rows_per_limb=wins)
+
+
+def bv_decompose(params, evk: BvEvalKey, c: RnsPoly) -> list[RnsPoly]:
+    """CRTDecompose (EvalKeySwitchPrecomputeCore, keyswitch-bv.cpp:304):
+    per-limb (optionally base-2^w digit) decomposition of c, each digit
+    re-embedded over c's full basis and returned in EVAL format."""
+    from ..math.modmath import barrett_reduce_u32
+    q_mods = c.moduli
+    L = len(q_mods)
+    w = evk.digit_bits
+    plan = c.plan
+    c_coeff = rns.to_coeff(c)
+    mu = np.array([(1 << 32) // q for q in q_mods], dtype=np.uint32)
+    mu_j = jnp.asarray(mu)[:, None]
+    q_j = plan.q_arr[:, None]
+    digits = []
+    for i, qi in enumerate(q_mods):
+        x_i = c_coeff.data[..., i, :]            # [..., N] values < q_i
+        wins = evk.rows_per_limb[i]
+        for k in range(wins):
+            if w == 0:
+                d = x_i
+            else:
+                d = (x_i >> (w * k)) & np.uint32((1 << w) - 1)
+            # embed the small digit over every limb (reduce mod q_j)
+            emb = barrett_reduce_u32(
+                jnp.broadcast_to(d[..., None, :],
+                                 d.shape[:-1] + (L, d.shape[-1])),
+                q_j, mu_j)
+            digits.append(rns.to_eval(RnsPoly(emb, q_mods, COEFF)))
+    return digits
+
+
+def bv_key_switch(params, evk: BvEvalKey, c: RnsPoly
+                  ) -> tuple[RnsPoly, RnsPoly]:
+    """BV KeySwitchCore (keyswitch-bv.cpp:298-336): digit MACs against
+    the key rows, keys truncated to c's basis (DropLastElements)."""
+    q_mods = c.moduli
+    L = len(q_mods)
+    idx = [evk.moduli.index(q) for q in q_mods]
+    assert idx == list(range(L)), "ciphertext basis must be a chain prefix"
+    digits = bv_decompose(params, evk, c)
+    row = 0
+    d0 = None
+    d1 = None
+    for i in range(len(evk.rows_per_limb)):
+        if i >= L:
+            break
+        for _k in range(evk.rows_per_limb[i]):
+            dig = digits[row]
+            b_r = RnsPoly(evk.b[row, :L], q_mods, EVAL)
+            a_r = RnsPoly(evk.a[row, :L], q_mods, EVAL)
+            t0 = rns.mul(dig, b_r)
+            t1 = rns.mul(dig, a_r)
+            d0 = t0 if d0 is None else rns.add(d0, t0)
+            d1 = t1 if d1 is None else rns.add(d1, t1)
+            row += 1
+    return d0, d1
