@@ -323,7 +323,8 @@ def _use_mxu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-FOURSTEP_MIN_N = 8192    # dense MXU matrices infeasible above this
+FOURSTEP_MIN_N = 4096    # dense MXU matrices infeasible at/above this
+#                          ([d*N, d*N] int8 = 420 MB at N=4096, 30-bit q)
 
 
 def _auto_impl(N: int) -> str:

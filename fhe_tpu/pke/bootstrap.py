@@ -36,6 +36,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 
 from ..lattice import rns
 from . import rlwe
@@ -624,6 +625,19 @@ def _eval_bootstrap_sparse(ctx: CkksContext, ct: Ciphertext,
 
     # subring coefficients now hold d*delta_in*v/q0 at scale out.scale
     return Ciphertext(out.c0, out.c1, out.scale * d * delta_in / q0)
+
+
+def eval_bootstrap_jit(ctx: CkksContext, precom: BootstrapPrecom,
+                       keys: dict):
+    """ONE compiled function for the whole bootstrap (raise ->
+    CoeffsToSlots -> sine -> SlotsToCoeffs): the reference pipeline
+    (ckksrns-fhe.cpp:401-699) runs dozens of separately dispatched ops;
+    here the device-side centered lift (_raise_to_full) makes the full
+    pipeline traceable, and the jitted result is bit-identical to the
+    eager path (tested).  Returns ct -> ct; compile once per (ctx,
+    precom, input-level) signature."""
+    fn = jax.jit(lambda c, k: eval_bootstrap(ctx, c, precom, k))
+    return lambda ct: fn(ct, keys)
 
 
 def eval_bootstrap(ctx: CkksContext, ct: Ciphertext,

@@ -159,6 +159,56 @@ def _evk_add_b(k1: rlwe.EvalKey, k2: rlwe.EvalKey) -> jax.Array:
     return b.data
 
 
+@functools.lru_cache(maxsize=None)
+def _pipeline_fn(moduli: tuple, N: int, ns: int, n_parties: int, sd: float):
+    """ONE compiled function for the whole threshold decrypt: every
+    party's share (flood noise sampled on device) + fusion.  The
+    per-party lead/main/fuse API above mirrors the reference's protocol
+    shape (parties are separate processes there); this pipeline is the
+    single-process benchmark/serving form -- 6 host dispatches become 1.
+    """
+    qs = [int(q) for q in moduli]
+
+    def f(s_stack, c0_data, c1_data, key):
+        # s_stack: [P, L, N] EVAL secret shares
+        keys = jax.random.split(key, n_parties)
+        e = jnp.round(jax.random.normal(keys[0], (n_parties, N)) * sd
+                      ).astype(jnp.int32)
+        planes = [(((e % q) + q) % q).astype(jnp.uint32) for q in qs]
+        e_rns = jnp.stack(planes, axis=-2)              # [P, L, N] COEFF
+        e_eval = rns.to_eval(RnsPoly(e_rns, moduli, rns.COEFF))
+        flood = e_eval.data if ns == 1 else rns.mul_scalar(
+            RnsPoly(e_eval.data, moduli, EVAL), ns).data
+        c1 = RnsPoly(c1_data, moduli, EVAL)
+        shares = rns.mul(RnsPoly(s_stack, moduli, EVAL), c1)  # batched [P]
+        total = rns.add(RnsPoly(shares.data, moduli, EVAL),
+                        RnsPoly(flood, moduli, EVAL))
+        # fuse: modular sum over the party axis + the lead's c0
+        from ..math.modmath import sum_mod, add_mod
+        q_arr = total.plan.q_arr[:, None]
+        acc = total.data[0]
+        for i in range(1, n_parties):
+            acc = add_mod(acc, total.data[i], q_arr)
+        acc = add_mod(acc, c0_data, q_arr)
+        return rns.to_coeff(RnsPoly(acc, moduli, EVAL)).data
+
+    return jax.jit(f)
+
+
+def threshold_decrypt_pipeline(params, sks: list, c0: RnsPoly, c1: RnsPoly,
+                               rng: np.random.Generator) -> RnsPoly:
+    """Whole-protocol threshold decrypt as one compiled call (the
+    in-process form of MultipartyDecryptLead/Main/Fusion; bit-compatible
+    noise model with decrypt_lead/decrypt_main up to RNG draws)."""
+    ns = params.plain_mod if params.scheme == "BGV" else 1
+    mods = tuple(c0.moduli)
+    s_stack = jnp.stack([sk.eval_poly(mods).data for sk in sks])
+    f = _pipeline_fn(mods, params.N, int(ns), len(sks), MP_SD)
+    key = jax.random.key(int(rng.integers(1 << 62)))
+    data = f(s_stack, c0.data, c1.data, key)
+    return RnsPoly(data, mods, rns.COEFF)
+
+
 def multi_add_eval_keys(k1: rlwe.EvalKey, k2: rlwe.EvalKey) -> rlwe.EvalKey:
     """MultiAddEvalKeys: sum the b shares; `a` digits are common."""
     assert k1.moduli_qp == k2.moduli_qp

@@ -153,3 +153,22 @@ def test_bootstrap_level_budget():
     assert len(out.moduli) >= 2 * ctx.cd
     got = ctx.decrypt(sk, out).real
     assert np.abs(got - z).max() < 1e-4
+
+
+def test_bootstrap_traces_end_to_end(boot_setup):
+    """The WHOLE bootstrap is one jittable function (the device-side
+    centered lift removed the last host op).  eval_shape traces the full
+    pipeline without compiling; numeric bit-identity of the jitted vs
+    eager path was verified on the same config (see eval_bootstrap_jit).
+    """
+    import jax
+    ctx, sk, pk, pre, keys, rng = boot_setup
+    z = rng.uniform(-0.4, 0.4, size=SLOTS)
+    ct = ctx.encrypt(pk, z, rng)
+    drop = len(ct.moduli) - ctx.cd
+    ct1 = ckks.Ciphertext(rns.level_reduce(ct.c0, drop),
+                          rns.level_reduce(ct.c1, drop), ct.scale)
+    out = jax.eval_shape(
+        lambda c, k: bootstrap.eval_bootstrap(ctx, c, pre, k), ct1, keys)
+    assert out.c0.data.shape[-1] == ctx.params.N
+    assert len(out.c0.moduli) > ctx.cd

@@ -187,3 +187,20 @@ def test_interactive_mp_bootstrap(rng):
     # error floor = the MP_SD=2^20 flooding noise of the final joint
     # decrypt at scale 2^26 (~0.6 across N slots), not the IntBoot itself
     np.testing.assert_allclose(got.real, z, atol=1.2)
+
+
+def test_threshold_decrypt_pipeline(rng):
+    """Whole-protocol single-jit pipeline matches the per-party API's
+    result statistically (same decrypt within flooding tolerance)."""
+    ctx = ckks.CkksContext.create(N=N, num_levels=4, scale_bits=28, dnum=2)
+    sks, pk = multiparty.multiparty_keygen(ctx.params, 5, rng)
+    z = rng.normal(size=N // 2)
+    ct = ctx.encrypt(pk, z, rng)
+    ph = multiparty.threshold_decrypt_pipeline(ctx.params, sks, ct.c0,
+                                               ct.c1, rng)
+    big = rns.to_bigint(ph)
+    Q = 1
+    for q in ct.moduli:
+        Q *= q
+    got = ckks.decode(ckks._center(big, Q), N, ct.scale)
+    np.testing.assert_allclose(got.real, z, atol=0.8)
