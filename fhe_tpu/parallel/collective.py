@@ -141,37 +141,11 @@ def switch_crt_basis_approx_sharded(p: RnsPoly, to_mods: tuple,
 # digit-uniform HYBRID key switch (stacked constants; shardable dnum axis)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
 def _digit_consts(q_mods: tuple, p_mods: tuple, npp: int):
-    """Stacked per-digit ModUp constants (EvalKeySwitchPrecomputeCore,
-    keyswitch-hybrid.cpp:328-380) so every digit runs the SAME program:
-
-    qhatinv[d, i] = ((Q_d/q_i)^-1 mod q_i) in Montgomery form for i in
-                    digit d's limb range, else 0;
-    qhat_to[d, i, j] = (Q_d/q_i mod m_j) in Montgomery form (m = QP basis),
-                    else 0;
-    exact[d, j]   = 1 where digit d's own limbs overwrite the ModUp output.
-    """
-    L = len(q_mods)
-    ext = tuple(q_mods) + tuple(p_mods)
-    M = len(ext)
-    dnum = -(-L // npp)
-    qhatinv = np.zeros((dnum, L), dtype=np.uint32)
-    qhat_to = np.zeros((dnum, L, M), dtype=np.uint32)
-    exact = np.zeros((dnum, M), dtype=np.uint32)
-    for d in range(dnum):
-        lo, hi = d * npp, min((d + 1) * npp, L)
-        Qd = 1
-        for i in range(lo, hi):
-            Qd *= q_mods[i]
-        for i in range(lo, hi):
-            qi = q_mods[i]
-            qhat = Qd // qi
-            qhatinv[d, i] = (pow(qhat % qi, -1, qi) << 32) % qi
-            for j, mj in enumerate(ext):
-                qhat_to[d, i, j] = ((qhat % mj) << 32) % mj
-        exact[d, lo:hi] = 1
-    return qhatinv, qhat_to, exact
+    """Stacked per-digit ModUp constants -- shared with the single-device
+    fused key switch (pke.rlwe._digit_consts)."""
+    from ..pke.rlwe import _digit_consts as dc
+    return dc(q_mods, p_mods, npp)
 
 
 def _modup_digit(x_ext, qhi, qto, mask, q_plan, ext_plan):
