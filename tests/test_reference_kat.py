@@ -194,3 +194,190 @@ def test_gate_with_reference_bootstrap_key():
         out = boot.eval_bin_gate(params, key, gate, ct1, ct2)
         got = np.asarray(lwe.decrypt(params, sk, out, p=4)) % 2
         assert np.array_equal(got, want), (gate, got, want)
+
+
+# ---------------------------------------------------------------------------
+# PKE KATs (tools/ref_pke_kat_dump.cpp): the reference's CKKS/BFV/BGV
+# ciphertexts decrypted through OUR math stack
+# ---------------------------------------------------------------------------
+
+_PKE_MANIFEST = os.path.join(VEC, "manifest_pke.json")
+
+pke_mark = pytest.mark.skipif(
+    not os.path.exists(_PKE_MANIFEST),
+    reason="PKE reference vectors not generated (tools/ref_pke_kat_dump.cpp)")
+
+
+def _pke_manifest():
+    with open(_PKE_MANIFEST) as f:
+        return json.load(f)
+
+
+def _negacyclic_exact(a, b, q: int) -> np.ndarray:
+    """Exact negacyclic product mod q for word-size values up to ~2^52:
+    split both operands into 26-bit halves and run four exact linear
+    convolutions on OUR 31-bit-prime NTT CRT stack
+    (math/ntt_arb._exact_linconv), recombining in exact integers.  The
+    KAT therefore exercises the framework's own NTT on every limb."""
+    from fhe_tpu.math import ntt_arb
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    S = 1 << 26
+    a0, a1 = (a % S).astype(np.uint64), (a // S).astype(np.uint64)
+    b0, b1 = (b % S).astype(np.uint64), (b // S).astype(np.uint64)
+    c00 = ntt_arb._exact_linconv(a0, b0)
+    c01 = ntt_arb._exact_linconv(a0, b1)
+    c10 = ntt_arb._exact_linconv(a1, b0)
+    c11 = ntt_arb._exact_linconv(a1, b1)
+    full = c00 + (c01 + c10) * S + c11 * (S * S)          # object ints
+    N = len(a)
+    red = np.zeros(N, dtype=object)
+    red[: min(N, len(full))] += full[:N]
+    red[: len(full) - N] -= full[N:]
+    return np.array([int(v) % q for v in red], dtype=object)
+
+
+def _phase_limbs(c0, c1, sk, mods) -> list[np.ndarray]:
+    """phase_l = c0_l + c1_l * s_l mod q_l per RNS limb (the reference's
+    DecryptCore sum over ct[i] * s^i, rns-pke.cpp semantics)."""
+    out = []
+    for l, q in enumerate(mods):
+        prod = _negacyclic_exact(c1[l], sk[l], int(q))
+        out.append((prod + c0[l].astype(object)) % int(q))
+    return out
+
+
+def _crt_compose(limbs, mods) -> tuple[list, int]:
+    """Garner reconstruction of the big-int coefficients mod prod(mods)."""
+    Q = 1
+    for q in mods:
+        Q *= int(q)
+    N = len(limbs[0])
+    out = [0] * N
+    for i in range(N):
+        x, m = 0, 1
+        for l, q in enumerate(mods):
+            q = int(q)
+            t = (int(limbs[l][i]) - x) % q * pow(m % q, -1, q) % q
+            x += t * m
+            m *= q
+        out[i] = x
+    return out, Q
+
+
+@pke_mark
+class TestPkeKat:
+    def test_ckks_fresh_decrypt(self):
+        """A CKKS ciphertext encrypted by the reference decrypts+decodes
+        with our stack (NTT limb products + CRT + canonical embedding)."""
+        from fhe_tpu.pke import ckks as ckksmod
+        m = _pke_manifest()["ckks"]
+        mods = _load("ckks_moduli.npy")
+        sk = _load("ckks_sk.npy")
+        c0 = _load("ckks_ct_c0.npy")
+        c1 = _load("ckks_ct_c1.npy")
+        vals = np.load(os.path.join(VEC, "ckks_values.npy"))
+        L = c0.shape[0]
+        limbs = _phase_limbs(c0, c1, sk, mods[:L])
+        coefs, Q = _crt_compose(limbs, mods[:L])
+        centered = np.array([float(x - Q) if x > Q // 2 else float(x)
+                             for x in coefs])
+        got = ckksmod.decode(centered, m["N"], 2.0 ** m["scale_bits"])
+        err = np.abs(got[: m["slots"]].real - vals).max()
+        assert err < 1e-5, err
+
+    def test_ckks_evalmult_rescale_decrypt(self):
+        """The reference's EvalMult+Rescale output decodes to values^2
+        under the exact derived scale (scale^2 / dropped modulus)."""
+        from fhe_tpu.pke import ckks as ckksmod
+        m = _pke_manifest()["ckks"]
+        mods = _load("ckks_moduli.npy")
+        sk = _load("ckks_sk.npy")
+        c0 = _load("ckks_ct2_c0.npy")
+        c1 = _load("ckks_ct2_c1.npy")
+        vals = np.load(os.path.join(VEC, "ckks_values.npy"))
+        L = c0.shape[0]
+        limbs = _phase_limbs(c0, c1, sk, mods[:L])
+        coefs, Q = _crt_compose(limbs, mods[:L])
+        centered = np.array([float(x - Q) if x > Q // 2 else float(x)
+                             for x in coefs])
+        scale2 = (2.0 ** m["scale_bits"]) ** 2 / float(int(mods[L]))
+        got = ckksmod.decode(centered, m["N"], scale2)
+        err = np.abs(got[: m["slots"]].real - vals * vals).max()
+        assert err < 1e-4, err
+
+    def test_bfv_exact_decrypt(self):
+        """BFV coef-packed: exact integer decrypt of the reference's
+        ciphertext reproduces the message verbatim (HPS rounding)."""
+        m = _pke_manifest()["bfv"]
+        mods = _load("bfv_moduli.npy")
+        sk = _load("bfv_sk.npy")
+        c0 = _load("bfv_ct_c0.npy")
+        c1 = _load("bfv_ct_c1.npy")
+        msg = _load("bfv_msg.npy")
+        L = c0.shape[0]
+        t = m["t"]
+        limbs = _phase_limbs(c0, c1, sk, mods[:L])
+        coefs, Q = _crt_compose(limbs, mods[:L])
+        got = np.array([((x * t + Q // 2) // Q) % t for x in coefs],
+                       dtype=np.uint64)
+        np.testing.assert_array_equal(got, msg)
+
+    def test_bgv_exact_decrypt(self):
+        """BGV coef-packed: phase mod t after centering equals the
+        message exactly."""
+        m = _pke_manifest()["bgv"]
+        mods = _load("bgv_moduli.npy")
+        sk = _load("bgv_sk.npy")
+        c0 = _load("bgv_ct_c0.npy")
+        c1 = _load("bgv_ct_c1.npy")
+        msg = _load("bgv_msg.npy")
+        L = c0.shape[0]
+        t = m["t"]
+        limbs = _phase_limbs(c0, c1, sk, mods[:L])
+        coefs, Q = _crt_compose(limbs, mods[:L])
+        got = np.array([((x - Q) % t if x > Q // 2 else x % t)
+                        for x in coefs], dtype=np.uint64)
+        np.testing.assert_array_equal(got, msg)
+
+
+# ---------------------------------------------------------------------------
+# serialization interop: the reference's cereal archives parse directly
+# ---------------------------------------------------------------------------
+
+@pke_mark
+class TestSerialInterop:
+    def _sk(self):
+        v = _load("serial_lwe_sk.npy").astype(np.int64)
+        s = np.where(v > 1, -1, v)       # ternary {0, 1, qKS-1}
+        return lwe.LweSecretKey(s=jnp.asarray(s.astype(np.int32)))
+
+    def test_binary_archive_decrypts(self):
+        from fhe_tpu.utils import serial_ref
+        params = make_params("TOY")
+        sk = self._sk()
+        for bit in (0, 1):
+            ct = serial_ref.load_lwe_binary(
+                os.path.join(VEC, f"serial_lwe_ct{bit}.bin"))
+            assert ct.modulus == _pke_manifest()["serial_lwe"]["q"]
+            got = int(np.asarray(lwe.decrypt(params, sk, ct, p=4)))
+            assert got == bit
+
+    def test_json_archive_matches_binary(self):
+        from fhe_tpu.utils import serial_ref
+        for bit in (0, 1):
+            cb = serial_ref.load_lwe_binary(
+                os.path.join(VEC, f"serial_lwe_ct{bit}.bin"))
+            cj = serial_ref.load_lwe_json(
+                os.path.join(VEC, f"serial_lwe_ct{bit}.json"))
+            np.testing.assert_array_equal(np.asarray(cb.a), np.asarray(cj.a))
+            assert int(cb.b) == int(cj.b) and cb.modulus == cj.modulus
+
+    def test_binary_roundtrip_byte_identical(self, tmp_path):
+        """Our writer regenerates the reference's archive byte-for-byte."""
+        from fhe_tpu.utils import serial_ref
+        src = os.path.join(VEC, "serial_lwe_ct1.bin")
+        ct = serial_ref.load_lwe_binary(src)
+        out = tmp_path / "roundtrip.bin"
+        serial_ref.dump_lwe_binary(ct, str(out))
+        assert out.read_bytes() == open(src, "rb").read()
