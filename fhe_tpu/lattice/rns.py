@@ -116,8 +116,50 @@ def _qb(plan: RnsPlan):
 # batched multi-modulus butterflies (all limbs at once)
 # ---------------------------------------------------------------------------
 
-def ntt_forward(plan: RnsPlan, x: jax.Array) -> jax.Array:
+def _lane_stack_ok(plan: RnsPlan) -> bool:
+    """The stacked-limb lane-factored NTT (ntt_lane.StackPlan) applies for
+    N = n1*128, n1 a power of two >= 2, all limbs < 2^31."""
+    N = plan.N
+    n1 = N // 128
+    return (N % 128 == 0 and n1 >= 2 and (n1 & (n1 - 1)) == 0
+            and all(int(q) < (1 << 31) for q in plan.moduli))
+
+
+def _rns_impl(plan: RnsPlan) -> str:
+    import os
+    env = os.environ.get("FHE_RNS_NTT")
+    if env:
+        return env
+    from ..math.ntt import _use_mxu
+    if _use_mxu() and _lane_stack_ok(plan):
+        return "lane"
+    return "butterfly"
+
+
+def ntt_forward_lane(plan: RnsPlan, x: jax.Array) -> jax.Array:
+    """Stacked-limb lane-factored forward NTT (128-point DFT factor as a
+    limb-batched int8 MXU matmul, n1 factor as sublane butterflies) --
+    bit-exact vs the butterfly path; natural [..., L, N] layouts at the
+    boundary."""
+    from ..math import ntt_lane as nl
+    sp = nl.make_stack_plan(plan.N, tuple(int(q) for q in plan.moduli))
+    return nl.blocked_to_eval(nl.forward_lane_stack(
+        sp, nl.coeff_to_interleaved(x, sp.n1)))
+
+
+def ntt_inverse_lane(plan: RnsPlan, x: jax.Array) -> jax.Array:
+    from ..math import ntt_lane as nl
+    sp = nl.make_stack_plan(plan.N, tuple(int(q) for q in plan.moduli))
+    return nl.interleaved_to_coeff(nl.inverse_lane_stack(
+        sp, nl.eval_to_blocked(x, sp.n1)))
+
+
+def ntt_forward(plan: RnsPlan, x: jax.Array, impl: str | None = None
+                ) -> jax.Array:
     """[..., L, N] COEFF -> EVAL, per-limb moduli."""
+    impl = impl or _rns_impl(plan)
+    if impl == "lane" and _lane_stack_ok(plan):
+        return ntt_forward_lane(plan, x)
     N = plan.N
     L = len(plan.moduli)
     logN = N.bit_length() - 1
@@ -140,8 +182,12 @@ def ntt_forward(plan: RnsPlan, x: jax.Array) -> jax.Array:
     return x.reshape(*lead, L, N)
 
 
-def ntt_inverse(plan: RnsPlan, x: jax.Array) -> jax.Array:
+def ntt_inverse(plan: RnsPlan, x: jax.Array, impl: str | None = None
+                ) -> jax.Array:
     """[..., L, N] EVAL -> COEFF, per-limb moduli."""
+    impl = impl or _rns_impl(plan)
+    if impl == "lane" and _lane_stack_ok(plan):
+        return ntt_inverse_lane(plan, x)
     N = plan.N
     L = len(plan.moduli)
     logN = N.bit_length() - 1

@@ -181,6 +181,23 @@ def reduce_i32(x, q):
     return r.astype(U32)
 
 
+def reduce_i32_arr(x, q_i32, qinv_f32):
+    """reduce_i32 with per-element (broadcastable) moduli.
+
+    x int32 with |x| < 2^30; q_i32 int32 moduli < 2^31 (broadcast shape);
+    qinv_f32 = 1/q as float32 (same shape).  Exact under the same
+    quotient-estimate argument as reduce_i32.  Returns uint32 in [0, q).
+    """
+    x = x.astype(I32)
+    k = jnp.round(x.astype(F32) * qinv_f32).astype(I32)
+    r = x - k * q_i32
+    r = jnp.where(r < 0, r + q_i32, r)
+    r = jnp.where(r < 0, r + q_i32, r)
+    r = jnp.where(r >= q_i32, r - q_i32, r)
+    r = jnp.where(r >= q_i32, r - q_i32, r)
+    return r.astype(U32)
+
+
 def fraction_round_v(y: jnp.ndarray, mods: tuple,
                      centered: bool = False) -> jnp.ndarray:
     """v = floor(sum_i y[..., i, :] / q_i) (centered=False, lifting the

@@ -77,6 +77,10 @@ class LanePlan:
     # recombination constants, lane-broadcast: row 0 = 2^14 mod q,
     # row 1 = its shoup dual
     comb14: jax.Array     # [2, 128]
+    # generic per-plane recombination: 2^(7v) mod q + shoup duals,
+    # lane-broadcast (used when d not in (3, 4), e.g. 31-bit PKE primes)
+    comb7: jax.Array      # [d, 128]
+    comb7_s: jax.Array    # [d, 128]
 
 
 @functools.lru_cache(maxsize=None)
@@ -177,6 +181,11 @@ def _make_lane_plan(N: int, q: int) -> LanePlan:
     comb14 = bcast(np.array(
         [[(1 << 14) % q], [shoup_precompute((1 << 14) % q, q)]],
         dtype=np.uint32))
+    comb7 = bcast(np.array([[(1 << (7 * v)) % q] for v in range(d)],
+                           dtype=np.uint32))
+    comb7_s = bcast(np.array(
+        [[shoup_precompute((1 << (7 * v)) % q, q)] for v in range(d)],
+        dtype=np.uint32))
 
     return LanePlan(
         N=N, q=q, n1=n1, d=d,
@@ -190,6 +199,7 @@ def _make_lane_plan(N: int, q: int) -> LanePlan:
         st2_f=jnp.asarray(st2_f), st2_f_s=jnp.asarray(shoup_arr(st2_f)),
         st2_i=jnp.asarray(st2_i), st2_i_s=jnp.asarray(shoup_arr(st2_i)),
         comb14=jnp.asarray(comb14),
+        comb7=jnp.asarray(comb7), comb7_s=jnp.asarray(comb7_s),
     )
 
 
@@ -241,7 +251,15 @@ def _recombine(lp: LanePlan, o: jax.Array) -> jax.Array:
         r2 = shoup_mul(reduce_i32(p(2), q), lp.comb14[0:1],
                        lp.comb14[1:2], q)
         return add_mod(r, r2, q)
-    raise NotImplementedError(f"d={lp.d}")
+    # generic path (d = 5 for 31-bit PKE primes): per-plane reduction
+    # (matmul accumulators are bounded by d*128*127^2 < 2^30 regardless
+    # of N, so reduce_i32 stays exact) + shoup combine by 2^(7v)
+    r = reduce_i32(p(0), q)
+    for v in range(1, lp.d):
+        term = shoup_mul(reduce_i32(p(v), q),
+                         lp.comb7[v:v + 1], lp.comb7_s[v:v + 1], q)
+        r = add_mod(r, term, q)
+    return r
 
 
 def _lane_matmul(planes: jax.Array, W: jax.Array) -> jax.Array:
@@ -389,3 +407,216 @@ def eval_to_blocked(x: jax.Array, n1: int) -> jax.Array:
 
 def blocked_to_eval(x: jax.Array) -> jax.Array:
     return x.reshape(*x.shape[:-2], -1)
+
+
+# ---------------------------------------------------------------------------
+# stacked-limb RNS variant: ONE lane-factored NTT over [..., L, N] with a
+# different modulus per limb row.  This is the PKE hot path: the RNS
+# tower NTT (reference: per-tower ForwardTransformToBitReverseInPlace
+# loops over DCRTPoly m_vectors, dcrtpoly-impl.h) becomes one batched
+# int8 MXU matmul over the lane axis + log2(n1) sublane butterfly stages,
+# replacing 2*log2(N) all-VPU butterfly stages per limb.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackPlan:
+    """Lane-factored NTT tables for a STACK of moduli (one per limb).
+
+    All limbs share d = max digit planes; smaller-modulus limbs simply
+    have zero top input planes (exactness is unaffected -- the digit
+    matrices already reduce every entry mod their own q)."""
+    N: int = dataclasses.field(metadata=dict(static=True))
+    moduli: tuple = dataclasses.field(metadata=dict(static=True))
+    n1: int = dataclasses.field(metadata=dict(static=True))
+    d: int = dataclasses.field(metadata=dict(static=True))
+    W128f: jax.Array      # [L, d*128, d*128] int8
+    W128i: jax.Array      # [L, d*128, d*128] int8
+    tw_f: jax.Array       # [L, n1, 128] (+ shoup)
+    tw_f_s: jax.Array
+    tw_i: jax.Array
+    tw_i_s: jax.Array
+    st_f: jax.Array       # [logn1, L, n1, 128] (+ shoup)
+    st_f_s: jax.Array
+    st_i: jax.Array
+    st_i_s: jax.Array
+    comb7: jax.Array      # [d, L, 1, 128] recombination weights (+ shoup)
+    comb7_s: jax.Array
+    q_i32: jax.Array      # [L, 1, 1] int32
+    qinv_f32: jax.Array   # [L, 1, 1] float32
+    q_b: jax.Array        # [L, 1, 1] uint32 (broadcast modulus)
+
+
+@functools.lru_cache(maxsize=None)
+def make_stack_plan(N: int, moduli: tuple) -> StackPlan:
+    with jax.ensure_compile_time_eval():
+        return _make_stack_plan(N, moduli)
+
+
+def _make_stack_plan(N: int, moduli: tuple) -> StackPlan:
+    assert N % LANES == 0 and (N // LANES) & (N // LANES - 1) == 0
+    n1 = N // LANES
+    logn1 = n1.bit_length() - 1
+    d = max(-(-int(q).bit_length() // 7) for q in moduli)
+    lps = [_make_stack_limb(N, int(q), d) for q in moduli]
+    stack = lambda key: jnp.stack([lp[key] for lp in lps])
+    st_f = jnp.stack([lp["st_f"] for lp in lps], axis=1)
+    st_f_s = jnp.stack([lp["st_f_s"] for lp in lps], axis=1)
+    st_i = jnp.stack([lp["st_i"] for lp in lps], axis=1)
+    st_i_s = jnp.stack([lp["st_i_s"] for lp in lps], axis=1)
+    comb7 = jnp.stack([lp["comb7"] for lp in lps], axis=1)[:, :, None, :]
+    comb7_s = jnp.stack([lp["comb7_s"] for lp in lps], axis=1)[:, :, None, :]
+    qs = np.array([int(q) for q in moduli])
+    return StackPlan(
+        N=N, moduli=tuple(int(q) for q in moduli), n1=n1, d=d,
+        W128f=stack("W128f"), W128i=stack("W128i"),
+        tw_f=stack("tw_f"), tw_f_s=stack("tw_f_s"),
+        tw_i=stack("tw_i"), tw_i_s=stack("tw_i_s"),
+        st_f=st_f, st_f_s=st_f_s, st_i=st_i, st_i_s=st_i_s,
+        comb7=comb7, comb7_s=comb7_s,
+        q_i32=jnp.asarray(qs.astype(np.int32))[:, None, None],
+        qinv_f32=jnp.asarray((1.0 / qs).astype(np.float32))[:, None, None],
+        q_b=jnp.asarray(qs.astype(np.uint32))[:, None, None],
+    )
+
+
+def _make_stack_limb(N: int, q: int, d: int) -> dict:
+    """Per-limb tables with a FORCED digit count d (same derivation as
+    _make_lane_plan, minus the megakernel-only tables)."""
+    n1 = N // LANES
+    logn1 = n1.bit_length() - 1
+    plan = nttmod.make_plan(N, q)
+    psi = plan.psi
+    om = pow(psi, 2, q)
+    om8 = pow(om, n1, q)
+    om128 = pow(om, LANES, q)
+    i2 = np.arange(LANES)
+    k2 = np.arange(LANES)
+    i1 = np.arange(n1)
+
+    Wf = (_pow_table(psi, 2 * N, q)[(n1 * i2) % (2 * N)][:, None] *
+          _pow_table(om8, LANES, q)[np.outer(i2, k2) % LANES]) % q
+    om8_inv = pow(om8, -1, q)
+    psi_inv = pow(psi, -1, q)
+    ninv = pow(N, -1, q)
+    Wi = (_pow_table(om8_inv, LANES, q)[np.outer(k2, i2) % LANES] *
+          ((_pow_table(psi_inv, 2 * N, q)[(n1 * i2) % (2 * N)] * ninv) % q
+           )[None, :]) % q
+
+    weights = [1 << (7 * u) for u in range(d)]
+    W128f = jnp.asarray(nttmod._build_digit_matrix(Wf, q, d, d, weights))
+    W128i = jnp.asarray(nttmod._build_digit_matrix(Wi, q, d, d, weights))
+
+    om_pows = _pow_table(om, N, q)
+    psi_pows = _pow_table(psi, 2 * N, q)
+    tw_f = (psi_pows[i1 % (2 * N)][:, None] *
+            om_pows[np.outer(i1, k2) % N]) % q
+    om_inv = pow(om, -1, q)
+    omi_pows = _pow_table(om_inv, N, q)
+    psii_pows = _pow_table(psi_inv, 2 * N, q)
+    tw_i = (psii_pows[i1 % (2 * N)][:, None] *
+            omi_pows[np.outer(i1, k2) % N]) % q
+
+    shoup_arr = lambda a: ((a.astype(object) << 32) // q).astype(
+        np.uint64).astype(np.uint32)
+
+    omp = _pow_table(om128, n1, q)
+    ompi = _pow_table(pow(om128, -1, q), n1, q)
+    st_f = np.zeros((logn1, n1, 1), dtype=np.uint32)
+    st_i = np.zeros((logn1, n1, 1), dtype=np.uint32)
+    for s in range(logn1):
+        m = 1 << (s + 1)
+        for j in range(n1):
+            t = j % m
+            st_f[s, j, 0] = omp[((t % (m // 2)) * (n1 // m)) % n1]
+            st_i[s, j, 0] = ompi[((t % (m // 2)) * (n1 // m)) % n1]
+    bcast = lambda a: np.broadcast_to(a, a.shape[:-1] + (LANES,)).copy()
+    st_f, st_i = bcast(st_f), bcast(st_i)
+    comb7 = np.array([(1 << (7 * v)) % q for v in range(d)], dtype=np.uint32)
+    comb7 = np.broadcast_to(comb7[:, None], (d, LANES)).copy()
+
+    return dict(
+        W128f=W128f, W128i=W128i,
+        tw_f=jnp.asarray(tw_f.astype(np.uint32)),
+        tw_f_s=jnp.asarray(shoup_arr(tw_f)),
+        tw_i=jnp.asarray(tw_i.astype(np.uint32)),
+        tw_i_s=jnp.asarray(shoup_arr(tw_i)),
+        st_f=jnp.asarray(st_f), st_f_s=jnp.asarray(shoup_arr(st_f)),
+        st_i=jnp.asarray(st_i), st_i_s=jnp.asarray(shoup_arr(st_i)),
+        comb7=jnp.asarray(comb7),
+        comb7_s=jnp.asarray(shoup_arr(comb7)),
+    )
+
+
+def _sublane_dft_stack(sp: StackPlan, x: jax.Array, inverse: bool
+                       ) -> jax.Array:
+    """Cyclic DFT-n1 over axis -2 of [..., L, n1, 128], per-limb moduli."""
+    n1 = sp.n1
+    logn1 = n1.bit_length() - 1
+    # static bit-reversal as ONE gather (this variant is XLA-only, no
+    # Pallas restriction; a concat of n1 slices explodes compile time at
+    # n1 >= 256)
+    x = jnp.take(x, jnp.asarray(nttmod.bit_reverse_perm(n1)), axis=-2)
+    st = sp.st_i if inverse else sp.st_f
+    sts = sp.st_i_s if inverse else sp.st_f_s
+    L = len(sp.moduli)
+    q = sp.q_b[:, None]                                     # [L, 1, 1, 1]
+    for s in range(logn1):
+        m = 1 << (s + 1)
+        h = m >> 1
+        xg = x.reshape(*x.shape[:-2], n1 // m, m, LANES)
+        tw = st[s].reshape(L, n1 // m, m, LANES)[..., :h, :]
+        tws = sts[s].reshape(L, n1 // m, m, LANES)[..., :h, :]
+        u = xg[..., :h, :]
+        v = shoup_mul(xg[..., h:, :], tw, tws, q)
+        x = jnp.concatenate([add_mod(u, v, q), sub_mod(u, v, q)],
+                            axis=-2).reshape(*x.shape[:-2], n1, LANES)
+    return x
+
+
+def _recombine_stack(sp: StackPlan, o: jax.Array) -> jax.Array:
+    """[..., L, n1, d*128] int32 matmul output -> [..., L, n1, 128] uint32.
+
+    Per-plane reduction: accumulators are bounded by d*128*127^2 < 2^30
+    for d <= 5, so reduce_i32_arr is exact for every 31-bit limb."""
+    from .modmath import reduce_i32_arr
+    L_ = LANES
+    p = lambda v: o[..., v * L_:(v + 1) * L_]
+    r = reduce_i32_arr(p(0), sp.q_i32, sp.qinv_f32)
+    for v in range(1, sp.d):
+        term = shoup_mul(reduce_i32_arr(p(v), sp.q_i32, sp.qinv_f32),
+                         sp.comb7[v], sp.comb7_s[v], sp.q_b)
+        r = add_mod(r, term, sp.q_b)
+    return r
+
+
+def _lane_matmul_stack(planes: jax.Array, W: jax.Array) -> jax.Array:
+    """[..., L, n1, d*128] int8 x [L, d*128, d*128] -> [..., L, n1, d*128]
+    int32, batched over the limb axis."""
+    lead = planes.shape[:-3]
+    Lq, n1, K = planes.shape[-3:]
+    flat = planes.reshape(-1, Lq, n1, K)
+    o = jax.lax.dot_general(
+        flat, W,
+        dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.int32)                   # [L, B, n1, K2]
+    o = jnp.moveaxis(o, 0, 1)
+    return o.reshape(*lead, Lq, n1, W.shape[2])
+
+
+def forward_lane_stack(sp: StackPlan, x: jax.Array) -> jax.Array:
+    """[..., L, n1, 128] uint32 COEFF-interleaved -> EVAL-natural."""
+    planes = _decompose_u32(x, sp.d)
+    o = _lane_matmul_stack(planes, sp.W128f)
+    y = _recombine_stack(sp, o)
+    y = shoup_mul(y, sp.tw_f, sp.tw_f_s, sp.q_b)
+    return _sublane_dft_stack(sp, y, inverse=False)
+
+
+def inverse_lane_stack(sp: StackPlan, x: jax.Array) -> jax.Array:
+    """[..., L, n1, 128] EVAL-natural -> COEFF-interleaved."""
+    u = _sublane_dft_stack(sp, x, inverse=True)
+    v = shoup_mul(u, sp.tw_i, sp.tw_i_s, sp.q_b)
+    planes = _decompose_u32(v, sp.d)
+    o = _lane_matmul_stack(planes, sp.W128i)
+    return _recombine_stack(sp, o)

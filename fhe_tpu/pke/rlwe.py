@@ -383,49 +383,61 @@ def key_switch_fused(params, evk: EvalKey, c: RnsPoly
 
     ext_plan = rns.make_rns_plan(N, ext_mods)
 
-    c_coeff = rns.to_coeff(c)
-    x = c_coeff.data                                         # [L, N]
-    xp = jnp.concatenate(
-        [x, jnp.zeros((Lp - L, N), jnp.uint32)], axis=0
-    ).reshape(dnum, npp, N) if Lp != L else x.reshape(dnum, npp, N)
-    # y[d, t] = x_{d*npp+t} * qhatinv (digit's own limbs only)
-    y = mont_mul(xp, jnp.asarray(qhi_c)[:, :, None],
-                 jnp.asarray(qarr_c)[:, :, None],
-                 jnp.asarray(qinv_c)[:, :, None])            # [dnum, npp, N]
-    eq = ext_plan.q_arr[:, None]
-    einv = ext_plan.qinv_neg[:, None]
-    terms = mont_mul(y[:, :, None, :], jnp.asarray(qto_c)[:, :, :, None],
-                     eq, einv)                               # [dnum,npp,M,N]
-    acc = terms[:, 0]
-    for i in range(1, npp):
-        acc = add_mod(acc, terms[:, i], eq)                  # [dnum, M, N]
-    x_ext = jnp.concatenate(
-        [x, jnp.zeros((len(p_mods), N), jnp.uint32)], axis=0)
-    ups = jnp.where(exact[:, :, None].astype(bool), x_ext[None], acc)
-    ups = rns.ntt_forward(ext_plan, ups)                     # [dnum, M, N]
-
     # inner products against the key digits (over the Q_l + P limbs)
     idx = jnp.asarray([evk.moduli_qp.index(q) for q in ext_mods])
     evb = jnp.take(evk.b, idx, axis=1)[:dnum]                # [dnum, M, N]
     eva = jnp.take(evk.a, idx, axis=1)[:dnum]
-    r2 = ext_plan.r2[:, None]
-    bm = mont_mul(evb, r2[None], eq[None], einv[None])
-    am = mont_mul(eva, r2[None], eq[None], einv[None])
-    t0 = mont_mul(ups, bm, eq[None], einv[None])
-    t1 = mont_mul(ups, am, eq[None], einv[None])
-    d0 = t0[0]
-    d1 = t1[0]
-    for d in range(1, dnum):
-        d0 = add_mod(d0, t0[d], eq)
-        d1 = add_mod(d1, t1[d], eq)
 
-    # ONE batched ModDown for both components
-    both = rns.RnsPoly(jnp.stack([d0, d1]), ext_mods, EVAL)
-    t = params.plain_mod if params.scheme == "BGV" else None
-    down = rns.to_eval(rns.approx_mod_down(rns.to_coeff(both),
-                                           tuple(q_mods), p_mods, t))
-    return (RnsPoly(down.data[0], tuple(q_mods), EVAL),
-            RnsPoly(down.data[1], tuple(q_mods), EVAL))
+    def _core(x):                                            # x: [L, N]
+        xp = jnp.concatenate(
+            [x, jnp.zeros((Lp - L, N), jnp.uint32)], axis=0
+        ).reshape(dnum, npp, N) if Lp != L else x.reshape(dnum, npp, N)
+        # y[d, t] = x_{d*npp+t} * qhatinv (digit's own limbs only)
+        y = mont_mul(xp, jnp.asarray(qhi_c)[:, :, None],
+                     jnp.asarray(qarr_c)[:, :, None],
+                     jnp.asarray(qinv_c)[:, :, None])        # [dnum, npp, N]
+        eq = ext_plan.q_arr[:, None]
+        einv = ext_plan.qinv_neg[:, None]
+        terms = mont_mul(y[:, :, None, :], jnp.asarray(qto_c)[:, :, :, None],
+                         eq, einv)                           # [dnum,npp,M,N]
+        acc = terms[:, 0]
+        for i in range(1, npp):
+            acc = add_mod(acc, terms[:, i], eq)              # [dnum, M, N]
+        x_ext = jnp.concatenate(
+            [x, jnp.zeros((len(p_mods), N), jnp.uint32)], axis=0)
+        ups = jnp.where(exact[:, :, None].astype(bool), x_ext[None], acc)
+        ups = rns.ntt_forward(ext_plan, ups)                 # [dnum, M, N]
+
+        r2 = ext_plan.r2[:, None]
+        bm = mont_mul(evb, r2[None], eq[None], einv[None])
+        am = mont_mul(eva, r2[None], eq[None], einv[None])
+        t0 = mont_mul(ups, bm, eq[None], einv[None])
+        t1 = mont_mul(ups, am, eq[None], einv[None])
+        d0 = t0[0]
+        d1 = t1[0]
+        for d in range(1, dnum):
+            d0 = add_mod(d0, t0[d], eq)
+            d1 = add_mod(d1, t1[d], eq)
+
+        # ONE batched ModDown for both components
+        both = rns.RnsPoly(jnp.stack([d0, d1]), ext_mods, EVAL)
+        t = params.plain_mod if params.scheme == "BGV" else None
+        down = rns.to_eval(rns.approx_mod_down(rns.to_coeff(both),
+                                               tuple(q_mods), p_mods, t))
+        return down.data[0], down.data[1]
+
+    c_coeff = rns.to_coeff(c)
+    x = c_coeff.data                                         # [..., L, N]
+    if x.ndim > 2:
+        lead = x.shape[:-2]
+        fn = _core
+        for _ in lead:
+            fn = jax.vmap(fn)
+        d0, d1 = fn(x)
+    else:
+        d0, d1 = _core(x)
+    return (RnsPoly(d0, tuple(q_mods), EVAL),
+            RnsPoly(d1, tuple(q_mods), EVAL))
 
 
 # ---------------------------------------------------------------------------

@@ -184,3 +184,30 @@ def test_fast_rotation_ext_keyswitch_down(rng):
         acc_q = rot if acc_q is None else ctx.add(acc_q, rot)
     got_q = ctx.decrypt(sk, acc_q)
     np.testing.assert_allclose(got_ext.real, got_q.real, atol=1e-3)
+
+
+def test_batched_ciphertext_mul_relin_rescale(ctx, keys, rng):
+    """Leading batch dims through the fused HYBRID key switch: batched
+    results must be bit-identical to the single-ciphertext path (the
+    batch-over-ciphertexts P2 axis of SURVEY SS2.7 applied to PKE)."""
+    import jax.numpy as jnp
+    sk, pk, evk, _ = keys
+    z = rng.normal(size=SLOTS) * 0.5
+    ct = ctx.encrypt(pk, z, rng)
+    B = 3
+    bat = lambda p: rns.RnsPoly(
+        jnp.broadcast_to(p.data, (B,) + p.data.shape), p.moduli, p.fmt)
+    ctb = ckks.Ciphertext(bat(ct.c0), bat(ct.c1), ct.scale)
+    outb = ctx.rescale(ctx.mul(ctb, ctb, evk))
+    outs = ctx.rescale(ctx.mul(ct, ct, evk))
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(outb.c0.data[i]),
+                                      np.asarray(outs.c0.data))
+        np.testing.assert_array_equal(np.asarray(outb.c1.data[i]),
+                                      np.asarray(outs.c1.data))
+    one = ckks.Ciphertext(
+        rns.RnsPoly(outb.c0.data[1], outs.c0.moduli, outs.c0.fmt),
+        rns.RnsPoly(outb.c1.data[1], outs.c1.moduli, outs.c1.fmt),
+        outb.scale)
+    got = ctx.decrypt(sk, one)
+    np.testing.assert_allclose(got.real, z * z, atol=1e-3)

@@ -80,3 +80,70 @@ def test_mega2_gate_end_to_end(rng):
                              ntt_impl="mega2")
     got = np.asarray(ctx.decrypt(sk, out, p=4))
     np.testing.assert_array_equal(got, m1 & m2)
+
+
+# ---------------------------------------------------------------------------
+# stacked-limb RNS lane NTT (the PKE hot path) + generic d=5 recombine
+# ---------------------------------------------------------------------------
+
+def test_lane_ntt_31bit_prime(rng):
+    """d=5 generic recombination: 31-bit primes (PKE limb width)."""
+    N = 2048
+    q = primes.prev_prime_congruent((1 << 31) - 1, 2 * N)
+    plan = nttmod.make_plan(N, q)
+    lp = nl.make_lane_plan(N, q)
+    assert lp.d == 5
+    x = jnp.asarray(rng.integers(0, q, size=(2, N), dtype=np.int64)
+                    .astype(np.uint32))
+    want = nttmod.forward_butterfly(plan, x)
+    got = nl.blocked_to_eval(nl.forward_lane(
+        lp, nl.coeff_to_interleaved(x, lp.n1)))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    back = nl.interleaved_to_coeff(nl.inverse_lane(
+        lp, nl.eval_to_blocked(got, lp.n1)))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(back))
+
+
+@pytest.mark.parametrize("N", [512, 4096])
+def test_stack_lane_ntt_bitexact(rng, N):
+    """Stacked-limb lane NTT vs the RNS butterfly anchor, mixed digit
+    counts (31-bit + 28-bit limbs -> padded top planes)."""
+    from fhe_tpu.lattice import rns
+    mods = []
+    q = (1 << 31) - 1
+    while len(mods) < 3:
+        q = primes.prev_prime_congruent(q - 1, 2 * N)
+        mods.append(q)
+    mods.append(primes.prev_prime_congruent((1 << 28) - 1, 2 * N))
+    mods = tuple(mods)
+    sp = nl.make_stack_plan(N, mods)
+    rp = rns.make_rns_plan(N, mods)
+    x = np.stack([rng.integers(0, q, size=N, dtype=np.int64)
+                  .astype(np.uint32) for q in mods])
+    xb = jnp.asarray(np.broadcast_to(x, (2,) + x.shape))
+    want = rns.ntt_forward(rp, xb, impl="butterfly")
+    got = rns.ntt_forward(rp, xb, impl="lane")
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    back = rns.ntt_inverse(rp, got, impl="lane")
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(back))
+
+
+def test_stack_lane_negacyclic_product(rng):
+    """Whole negacyclic product through the lane path equals butterfly."""
+    from fhe_tpu.lattice import rns
+    N = 1024
+    mods = (primes.prev_prime_congruent((1 << 31) - 1, 2 * N),
+            primes.prev_prime_congruent((1 << 30) - 1, 2 * N))
+    rp = rns.make_rns_plan(N, mods)
+    a = jnp.asarray(np.stack([rng.integers(0, q, size=N, dtype=np.int64)
+                              .astype(np.uint32) for q in mods]))
+    b = jnp.asarray(np.stack([rng.integers(0, q, size=N, dtype=np.int64)
+                              .astype(np.uint32) for q in mods]))
+    out = {}
+    for impl in ("butterfly", "lane"):
+        ea = rns.ntt_forward(rp, a, impl=impl)
+        eb = rns.ntt_forward(rp, b, impl=impl)
+        prod = rns.mul(rns.RnsPoly(ea, mods, rns.EVAL),
+                       rns.RnsPoly(eb, mods, rns.EVAL))
+        out[impl] = np.asarray(rns.ntt_inverse(rp, prod.data, impl=impl))
+    np.testing.assert_array_equal(out["butterfly"], out["lane"])
