@@ -153,18 +153,42 @@ class BgvContext:
         return self._decode(coeffs, encoding)
 
     # -- ops ------------------------------------------------------------------
+    def adjust_level(self, a: Ciphertext, num_limbs: int) -> Ciphertext:
+        """ModReduce a down to a num_limbs basis (the reference's
+        LeveledSHERNS auto level adjustment, rns-leveledshe.cpp:182-191)."""
+        while len(a.moduli) > num_limbs:
+            a = self.mod_reduce(a)
+        return a
+
+    def _match(self, a: Ciphertext, b: Ciphertext, scales: bool = True
+               ) -> tuple[Ciphertext, Ciphertext]:
+        """Bring both operands to the shorter basis; for add/sub also equate
+        the plaintext scale factors by an exact scalar multiply (the BGV
+        scaling-factor adjustment of rns-leveledshe.cpp EvalAdd)."""
+        n = min(len(a.moduli), len(b.moduli))
+        a = self.adjust_level(a, n)
+        b = self.adjust_level(b, n)
+        if scales and a.pt_scale != b.pt_scale:
+            t = self.t
+            k = b.pt_scale * pow(a.pt_scale, -1, t) % t
+            a = Ciphertext(rns.mul_scalar(a.c0, k), rns.mul_scalar(a.c1, k),
+                           pt_scale=b.pt_scale)
+        return a, b
+
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        assert a.pt_scale == b.pt_scale, "level-mismatched add (mod_reduce first)"
+        a, b = self._match(a, b)
         return Ciphertext(rns.add(a.c0, b.c0), rns.add(a.c1, b.c1),
                           pt_scale=a.pt_scale)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        assert a.pt_scale == b.pt_scale
+        a, b = self._match(a, b)
         return Ciphertext(rns.sub(a.c0, b.c0), rns.sub(a.c1, b.c1),
                           pt_scale=a.pt_scale)
 
     def add_plain(self, a: Ciphertext, m) -> Ciphertext:
-        assert a.pt_scale == 1, "add_plain on reduced ct needs scale matching"
+        m = np.asarray(m, dtype=np.int64)
+        if a.pt_scale != 1:
+            m = m * a.pt_scale % self.t
         pt = self.make_plaintext(m, a.moduli)
         return Ciphertext(rns.add(a.c0, pt), a.c1, pt_scale=a.pt_scale)
 
@@ -175,6 +199,7 @@ class BgvContext:
 
     def mul(self, a: Ciphertext, b: Ciphertext,
             evk: rlwe.EvalKey | None = None) -> Ciphertext:
+        a, b = self._match(a, b, scales=False)
         d0 = rns.mul(a.c0, b.c0)
         d1 = rns.add(rns.mul(a.c0, b.c1), rns.mul(a.c1, b.c0))
         d2 = rns.mul(a.c1, b.c1)
