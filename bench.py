@@ -1,13 +1,25 @@
-"""Headline benchmark: batched STD128 TFHE gate bootstraps/sec on TPU.
+"""Driver benchmark: the full BASELINE.json config matrix on the TPU.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference CPU build evaluates one bootstrapped binary gate in
-~10 ms single-thread (/root/reference/README.md:139) => 100 gates/s.
+Prints one JSON line per config as it completes, and the HEADLINE metric
+(batched STD128 TFHE gate bootstraps/sec) LAST with every other metric
+embedded under "extra" — so a single parsed JSON object carries the whole
+matrix even if only the final line is recorded.
 
-Run with the ambient environment (axon TPU); falls back to whatever backend
-JAX provides. Batch size is chosen per backend: the TPU throughput path
-batches thousands of gates (SURVEY SS2.7 P2 north star), the CPU smoke run
-uses a small batch.
+Configs (BASELINE.md "Measured configs"):
+  1. STD128 single AND bootstrap (latency)          vs ~10 ms ref CPU
+  2. batched STD128 AND bootstraps (throughput)     vs 100 gates/s ref CPU
+  3. CKKS mult+relin+rescale N=2^14, 8 limbs        vs 1.803 ms ref CPU
+     (single, fused pipeline, + batch-32 amortized per-ct)
+  4. BFV mult+relin N=2^15                          vs 3.021 ms ref CPU
+  5. 3-of-5-style threshold CKKS decrypt            vs ~50 ms ref CPU
+
+Each config is wrapped so a failure cannot suppress the headline line; a
+wall-clock budget (FHE_BENCH_BUDGET seconds, default 1500) skips
+remaining PKE configs rather than overrunning the driver.
+
+Device times for sub-ms PKE ops use k-vs-1 scan differencing
+(`timed_diff`): the tunneled axon runtime adds a ~1.3 ms per-scan-
+iteration floor that plain wall timing cannot separate from the op.
 """
 
 import json
@@ -20,9 +32,13 @@ import jax
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fhe_tpu.tfhe import BinFheContext, Gate, lwe, boot  # noqa: E402
-
 BASELINE_GATES_PER_SEC = 100.0  # reference: ~10 ms/gate, EPYC 7763 1T
+T0 = time.monotonic()
+
+
+def budget_left() -> float:
+    return float(os.environ.get("FHE_BENCH_BUDGET", "1500")) - (
+        time.monotonic() - T0)
 
 
 def _default_backend() -> str:
@@ -39,10 +55,50 @@ def _default_backend() -> str:
         return jax.default_backend()
 
 
-def main():
-    on_tpu = _default_backend() == "tpu"
+def emit(rec: dict) -> dict:
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def timed_diff(step, init, k=3, iters=4):
+    """Pure DEVICE time of one `step`: time a jitted scan applying `step`
+    k times per iteration vs once, report (t_k - t_1)/(k-1).  Returns
+    None (unmeasurable) when the difference is below the timer noise
+    floor instead of clamping to a bogus tiny value."""
+    from jax import lax
+
+    def run(kk):
+        def body(c, _):
+            for _i in range(kk):
+                c = step(c)
+            return c, None
+        f = jax.jit(lambda c: lax.scan(body, c, None, length=iters)[0])
+        out = f(init)
+        jax.block_until_ready(jax.tree.leaves(out))
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = f(init)
+            jax.block_until_ready(jax.tree.leaves(out))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t1 = run(1)
+    tk = run(k)
+    dt = (tk - t1) / (k - 1)
+    if dt < 2e-6:
+        return None
+    return dt
+
+
+def bench_tfhe(results: list):
+    """Configs 1-2: STD128 AND gate, batched throughput + single latency."""
+    from fhe_tpu.tfhe import BinFheContext, Gate
+
+    on_tpu = jax.default_backend() == "tpu"
     param_set = os.environ.get("FHE_BENCH_PARAMS", "STD128")
-    batch = int(os.environ.get("FHE_BENCH_BATCH", "2048" if on_tpu else "8"))
+    batch = int(os.environ.get("FHE_BENCH_BATCH",
+                               "2048" if on_tpu else "8"))
     iters = int(os.environ.get("FHE_BENCH_ITERS", "3" if on_tpu else "1"))
 
     ctx = BinFheContext.generate(param_set)
@@ -55,22 +111,35 @@ def main():
     ct1 = ctx.encrypt(sk, m1, rng)
     ct2 = ctx.encrypt(sk, m2, rng)
 
-    # warmup (compile)
-    out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)
+    out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)   # compile
     jax.block_until_ready(out)
-
     t0 = time.perf_counter()
     for _ in range(iters):
         out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-
-    # correctness check rides along
     got = np.asarray(ctx.decrypt(sk, out, p=4))
     ok = bool(np.array_equal(got, m1 & m2))
-
     gates_per_sec = batch / dt
-    print(json.dumps({
+
+    # config 1: single-gate latency (batch 1, wall)
+    c1a = ctx.encrypt(sk, np.array([1]), rng)
+    c1b = ctx.encrypt(sk, np.array([1]), rng)
+    out1 = ctx.eval_bin_gate(key, Gate.AND, c1a, c1b)
+    jax.block_until_ready(out1)
+    t0 = time.perf_counter()
+    n1 = 3
+    for _ in range(n1):
+        out1 = ctx.eval_bin_gate(key, Gate.AND, c1a, c1b)
+        jax.block_until_ready(out1)
+    lat_ms = (time.perf_counter() - t0) / n1 * 1e3
+    ok1 = int(np.asarray(ctx.decrypt(sk, out1, p=4))[0]) == 1
+    results.append(emit({
+        "metric": f"tfhe_{param_set.lower()}_single_and_latency",
+        "value": round(lat_ms, 3), "unit": "ms",
+        "vs_baseline": round(10.0 / lat_ms, 3), "correct": ok1}))
+
+    return {
         "metric": f"tfhe_{param_set.lower()}_and_bootstraps_per_sec"
                   f"_b{batch}_{jax.default_backend()}",
         "value": round(gates_per_sec, 2),
@@ -79,7 +148,151 @@ def main():
         "correct": ok,
         "batch": batch,
         "ms_per_batch": round(dt * 1e3, 2),
-    }))
+    }
+
+
+def bench_ckks(results: list):
+    """Config 3: fused CKKS mult+relin+rescale at N=2^14, 8 limbs
+    (ckks.mul_rescale: one EVAL-domain basis change for relin+rescale,
+    Montgomery-prepared switching key)."""
+    import jax.numpy as jnp
+    from fhe_tpu.pke import ckks, rlwe
+    from fhe_tpu.lattice import rns
+
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    N = 1 << (10 if small else 14)
+    ctx = ckks.CkksContext.create(N=N, num_levels=7, scale_bits=26, dnum=3)
+    rng = np.random.default_rng(1)
+    sk, pk = ctx.keygen(rng)
+    evk = rlwe.prepare_evk(ctx.params, ctx.relin_key_gen(sk, rng))
+    z = rng.normal(size=N // 2) * 0.5
+    ct = ctx.encrypt(pk, z, rng)
+    mods = tuple(ctx.params.moduli)
+
+    # correctness rides along
+    got = ctx.decrypt(sk, ctx.mul_rescale(ct, ct, evk)).real
+    ok = bool(np.abs(got - z * z).max() < 1e-2)
+
+    def step(c):
+        x = ckks.Ciphertext(rns.RnsPoly(c, mods, rns.EVAL),
+                            rns.RnsPoly(c, mods, rns.EVAL), ctx.scale)
+        out = ctx.mul_rescale(x, x, evk)
+        # restore the dropped limbs so the chain's shapes close (timing only)
+        return jnp.concatenate([out.c0.data, out.c0.data[..., -ctx.cd:, :]],
+                               axis=-2)
+
+    dt = timed_diff(step, ct.c0.data)
+    ms = None if dt is None else dt * 1e3
+    results.append(emit({
+        "metric": f"ckks_mult_relin_rescale_fused_n{N}_l{len(mods)}",
+        "value": None if ms is None else round(ms, 4), "unit": "ms",
+        "vs_baseline": None if ms is None else round(1.803 / ms, 2),
+        "correct": ok,
+        "note": "below measurement noise floor" if ms is None else None}))
+
+    B = 32
+    cB = jnp.broadcast_to(ct.c0.data, (B,) + ct.c0.data.shape)
+    dt = timed_diff(step, cB, k=3, iters=3)
+    msb = None if dt is None else dt * 1e3 / B
+    results.append(emit({
+        "metric": f"ckks_mult_relin_rescale_fused_n{N}_batch{B}_per_ct",
+        "value": None if msb is None else round(msb, 4), "unit": "ms",
+        "vs_baseline": None if msb is None else round(1.803 / msb, 2)}))
+
+
+def bench_bfv(results: list):
+    """Config 4: BFV mult+relin at N=2^15 (the dot-product hot op).
+    Reference CPU: BFVrns_MultRelin 3.021 ms (BENCHMARKS.md:110)."""
+    from fhe_tpu.pke import bfv
+
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    N = 1 << (10 if small else 15)
+    ctx = bfv.BfvContext.create(N=N, num_limbs=3, plain_mod=65537, dnum=3)
+    rng = np.random.default_rng(2)
+    sk, pk = ctx.keygen(rng)
+    evk = ctx.relin_key_gen(sk, rng)
+    m1 = rng.integers(0, 100, size=N)
+    c1 = ctx.encrypt(pk, m1, rng)
+    got = ctx.decrypt(sk, ctx.mul(c1, c1, evk))
+    ok = bool(np.array_equal(got, (m1 * m1) % 65537))
+    dt = timed_diff(lambda c: ctx.mul(c, c, evk), c1, k=3, iters=3)
+    ms = None if dt is None else dt * 1e3
+    results.append(emit({
+        "metric": f"bfv_mult_relin_n{N}",
+        "value": None if ms is None else round(ms, 3), "unit": "ms",
+        "vs_baseline": None if ms is None else round(3.021 / ms, 2),
+        "correct": ok}))
+
+
+def bench_threshold(results: list):
+    """Config 5: 3-of-5-style threshold CKKS decrypt (lead + 4 mains +
+    fusion, one compiled pipeline).  Reference CPU: ~50 ms combine
+    (README.md:143)."""
+    import jax.numpy as jnp
+    from fhe_tpu.pke import ckks, multiparty
+    from fhe_tpu.lattice import rns
+
+    small = os.environ.get("FHE_BENCH_SMALL") == "1"
+    N = 1 << (10 if small else 12)
+    ctx = ckks.CkksContext.create(N=N, num_levels=4, scale_bits=26, dnum=2)
+    rng = np.random.default_rng(3)
+    sks, pk = multiparty.multiparty_keygen(ctx.params, 5, rng)
+    z = rng.normal(size=N // 2)
+    ct = ctx.encrypt(pk, z, rng)
+    mods = tuple(ct.c0.moduli)
+    s_stack = jnp.stack([sk.eval_poly(mods).data for sk in sks])
+    pfn = multiparty._pipeline_fn(mods, N, 1, 5, multiparty.MP_SD)
+    key0 = jax.random.key(7)
+
+    got = multiparty.threshold_decrypt_pipeline(
+        ctx.params, sks, ct.c0, ct.c1, np.random.default_rng(5))
+    big = rns.to_bigint(got)
+    Q = 1
+    for q in ct.moduli:
+        Q *= q
+    val = ckks.decode(ckks._center(big, Q), N, ct.scale)
+    ok = bool(np.abs(val.real - z).max() < 0.8)
+
+    def step(c1_data):
+        ph = pfn(s_stack, ct.c0.data, c1_data, key0)
+        return rns.to_eval(rns.RnsPoly(ph, mods, rns.COEFF)).data
+
+    dt = timed_diff(step, ct.c1.data, k=3, iters=3)
+    ms = None if dt is None else dt * 1e3
+    results.append(emit({
+        "metric": f"threshold_ckks_5party_n{N}",
+        "value": None if ms is None else round(ms, 3), "unit": "ms",
+        "vs_baseline": None if ms is None else round(50.0 / ms, 2),
+        "correct": ok}))
+
+
+def main():
+    _default_backend()
+    results: list = []
+    headline = None
+    try:
+        headline = bench_tfhe(results)
+    except Exception as e:  # noqa: BLE001
+        print(f"# tfhe bench failed: {e!r}", file=sys.stderr)
+    for name, fn in (("ckks", bench_ckks), ("bfv", bench_bfv),
+                     ("threshold", bench_threshold)):
+        if os.environ.get("FHE_BENCH_HEADLINE_ONLY") == "1":
+            break
+        if budget_left() < 120:
+            print(f"# budget exhausted, skipping {name}", file=sys.stderr)
+            continue
+        try:
+            fn(results)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} bench failed: {e!r}", file=sys.stderr)
+    if headline is None:
+        headline = {"metric": "tfhe_std128_and_bootstraps_per_sec",
+                    "value": 0.0, "unit": "gates/s", "vs_baseline": 0.0,
+                    "correct": False, "error": "tfhe bench failed"}
+    headline["extra"] = {r["metric"]: {k: v for k, v in r.items()
+                                       if k != "metric"}
+                         for r in results}
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

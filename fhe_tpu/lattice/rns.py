@@ -125,11 +125,20 @@ def _lane_stack_ok(plan: RnsPlan) -> bool:
             and all(int(q) < (1 << 31) for q in plan.moduli))
 
 
+import os as _os
+
+# Trace-time NTT implementation override, read ONCE at import: jitted
+# callers capture the choice in their trace, so a post-import env change
+# could not take effect anyway (it would only make eager/jit disagree).
+_RNS_NTT_ENV = _os.environ.get("FHE_RNS_NTT")
+if _RNS_NTT_ENV not in (None, "", "lane", "butterfly"):
+    raise ValueError(
+        f"FHE_RNS_NTT={_RNS_NTT_ENV!r}: expected 'lane' or 'butterfly'")
+
+
 def _rns_impl(plan: RnsPlan) -> str:
-    import os
-    env = os.environ.get("FHE_RNS_NTT")
-    if env:
-        return env
+    if _RNS_NTT_ENV:
+        return _RNS_NTT_ENV
     from ..math.ntt import _use_mxu
     if _use_mxu() and _lane_stack_ok(plan):
         return "lane"

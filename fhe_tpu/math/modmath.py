@@ -158,16 +158,28 @@ def shoup_mul(a, w, w_shoup, q):
     return jnp.where(r >= q, r - u32(q), r)
 
 
+def shoup_mul_lazy(a, w, w_shoup, q):
+    """Shoup product WITHOUT the final conditional subtract: returns a
+    value in [0, 2q) congruent to a*w mod q.  Callers accumulate several
+    lazy products with plain uint32 adds (exact as long as the running
+    sum stays < 2^32) and defer the reduction to the consumer -- e.g.
+    mont_mul tolerates any a with a*b < q*2^32 (REDC bound)."""
+    qt = mul32_hi(a, u32(w_shoup))
+    return mul32_lo(a, w) - mul32_lo(qt, q)
+
+
 # ---------------------------------------------------------------------------
 # Reduction of signed int32 accumulators (MXU matmul outputs) mod q
 # ---------------------------------------------------------------------------
 
 def reduce_i32(x, q):
-    """Exact x mod q for int32 x with |x| < 2^30 and q < 2^30.
+    """Exact x mod q for int32 x with |x| < 2^30 and q < 2^31.
 
     Uses a float32 quotient estimate plus integer fixup; the estimate is
     within +-1 of the true rounded quotient so two correction rounds suffice.
-    Returns uint32 in [0, q).
+    For q in [2^30, 2^31) the quotient k is in {-1, 0, 1} (|x| < 2^30 <= q),
+    so k*q and the corrections stay exactly representable in int32; for
+    q < 2^30 the usual |k| <= 2^30/q bound applies.  Returns uint32 in [0, q).
     """
     x = x.astype(I32)
     qf = jnp.asarray(1.0 / float(q), dtype=F32)

@@ -79,19 +79,31 @@ class BfvContext:
         pk = rlwe.pubkey_gen(self.params, sk, rng)
         return sk, pk
 
-    def relin_key_gen(self, sk, rng) -> rlwe.EvalKey:
+    def relin_key_gen(self, sk, rng, method: str = "hybrid",
+                      digit_bits: int = 0) -> rlwe.EvalKey:
+        """method: 'hybrid' or 'bv' (keyswitch-bv.cpp digit
+        decomposition) -- as in the reference, both families apply."""
         mods = tuple(self.params.moduli)
         s = sk.eval_poly(mods)
+        if method == "bv":
+            return rlwe.bv_evk_gen(self.params, rns.mul(s, s), sk, rng,
+                                   digit_bits=digit_bits)
         return rlwe.evk_gen(self.params, rns.mul(s, s), sk, rng)
 
-    def rotation_key_gen(self, sk, rots, rng) -> dict:
+    def rotation_key_gen(self, sk, rots, rng, method: str = "hybrid",
+                         digit_bits: int = 0) -> dict:
         mods = tuple(self.params.moduli)
         N = self.params.N
         s = sk.eval_poly(mods)
         out = {}
         for r in rots:
             k = pow(5, r % (2 * N), 2 * N)
-            out[r] = rlwe.evk_gen(self.params, rns.automorphism(s, k), sk, rng)
+            s_k = rns.automorphism(s, k)
+            if method == "bv":
+                out[r] = rlwe.bv_evk_gen(self.params, s_k, sk, rng,
+                                         digit_bits=digit_bits)
+            else:
+                out[r] = rlwe.evk_gen(self.params, s_k, sk, rng)
         return out
 
     def make_plaintext(self, m, scaled: bool = True,

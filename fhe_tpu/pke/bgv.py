@@ -85,21 +85,36 @@ class BgvContext:
         pk = rlwe.pubkey_gen(self.params, sk, rng, noise_scale=self.t)
         return sk, pk
 
-    def relin_key_gen(self, sk, rng) -> rlwe.EvalKey:
+    def relin_key_gen(self, sk, rng, method: str = "hybrid",
+                      digit_bits: int = 0) -> rlwe.EvalKey:
+        """method: 'hybrid' (keyswitch-hybrid.cpp) or 'bv'
+        (keyswitch-bv.cpp, relinWindow=digit_bits) -- both key-switch
+        families apply to every RNS scheme, as in the reference."""
         mods = tuple(self.params.moduli)
         s = sk.eval_poly(mods)
+        if method == "bv":
+            return rlwe.bv_evk_gen(self.params, rns.mul(s, s), sk, rng,
+                                   digit_bits=digit_bits,
+                                   noise_scale=self.t)
         return rlwe.evk_gen(self.params, rns.mul(s, s), sk, rng,
                             noise_scale=self.t)
 
-    def rotation_key_gen(self, sk, rots, rng) -> dict:
+    def rotation_key_gen(self, sk, rots, rng, method: str = "hybrid",
+                         digit_bits: int = 0) -> dict:
         mods = tuple(self.params.moduli)
         N = self.params.N
         s = sk.eval_poly(mods)
         out = {}
         for r in rots:
             k = pow(5, r % (2 * N), 2 * N)
-            out[r] = rlwe.evk_gen(self.params, rns.automorphism(s, k), sk,
-                                  rng, noise_scale=self.t)
+            s_k = rns.automorphism(s, k)
+            if method == "bv":
+                out[r] = rlwe.bv_evk_gen(self.params, s_k, sk, rng,
+                                         digit_bits=digit_bits,
+                                         noise_scale=self.t)
+            else:
+                out[r] = rlwe.evk_gen(self.params, s_k, sk, rng,
+                                      noise_scale=self.t)
         return out
 
     def make_plaintext(self, m, mods: tuple | None = None,
@@ -155,7 +170,14 @@ class BgvContext:
     # -- ops ------------------------------------------------------------------
     def adjust_level(self, a: Ciphertext, num_limbs: int) -> Ciphertext:
         """ModReduce a down to a num_limbs basis (the reference's
-        LeveledSHERNS auto level adjustment, rns-leveledshe.cpp:182-191)."""
+        LeveledSHERNS auto level adjustment, rns-leveledshe.cpp:182-191).
+
+        Degree-2 only: mod_reduce and the _match scale adjustment rebuild
+        (c0, c1) and would silently drop a c2 component — relinearize
+        degree-3 ciphertexts before mixing levels/scales."""
+        if len(a.moduli) > num_limbs:
+            assert a.c2 is None, \
+                "adjust_level requires a relinearized (degree-2) ciphertext"
         while len(a.moduli) > num_limbs:
             a = self.mod_reduce(a)
         return a
@@ -169,6 +191,8 @@ class BgvContext:
         a = self.adjust_level(a, n)
         b = self.adjust_level(b, n)
         if scales and a.pt_scale != b.pt_scale:
+            assert a.c2 is None and b.c2 is None, \
+                "scale adjustment requires relinearized operands"
             t = self.t
             k = b.pt_scale * pow(a.pt_scale, -1, t) % t
             a = Ciphertext(rns.mul_scalar(a.c0, k), rns.mul_scalar(a.c1, k),

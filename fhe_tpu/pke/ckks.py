@@ -334,6 +334,31 @@ class CkksContext:
     def square(self, a: Ciphertext, evk: rlwe.EvalKey) -> Ciphertext:
         return self.mul(a, a, evk)
 
+    def mul_rescale(self, a: Ciphertext, b: Ciphertext, evk) -> Ciphertext:
+        """Fused EvalMult + relinearize + rescale: the tensor product's
+        d0/d1 are folded (scaled by P) into the key switch's extended-basis
+        accumulators and ONE EVAL-domain basis change divides by
+        P * (last composite-degree q-block) — no separate ModReduce
+        COEFFICIENT round-trip (vs the reference's EvalMult followed by
+        ModReduceInternal, rns-leveledshe.cpp:182-191 + :381).  `evk` may
+        be an EvalKey or a PreparedEvalKey (Montgomery form, faster)."""
+        assert a.moduli == b.moduli
+        if a.c1 is b.c1 and a.c0 is b.c0:
+            d0 = rns.mul(a.c0, a.c0)
+            cross = rns.mul(a.c0, a.c1)
+            d1 = rns.add(cross, cross)
+            d2 = rns.mul(a.c1, a.c1)
+        else:
+            d0 = rns.mul(a.c0, b.c0)
+            d1 = rns.add(rns.mul(a.c0, b.c1), rns.mul(a.c1, b.c0))
+            d2 = rns.mul(a.c1, b.c1)
+        scale = a.scale * b.scale
+        k0, k1 = rlwe.key_switch_core(self.params, evk, d2,
+                                      extra=(d0, d1), drop_q=self.cd)
+        for qd in a.moduli[len(a.moduli) - self.cd:]:
+            scale /= qd
+        return Ciphertext(k0, k1, scale)
+
     def relin_keys_gen(self, sk: rlwe.SecretKey, rng,
                        max_degree: int = 3) -> dict[int, rlwe.EvalKey]:
         """EvalMultKeysGen (cryptocontext.h:1099): switching keys for

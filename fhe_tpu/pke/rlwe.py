@@ -272,6 +272,8 @@ def key_switch_inner(params, evk: EvalKey, ups: list[RnsPoly]
 def key_switch_down_poly(params, c: RnsPoly) -> RnsPoly:
     """KeySwitchDown for one component: ModDown by P (divide out the
     implicit P factor of key_switch_inner results)."""
+    if c.fmt == EVAL:
+        return mod_down_eval(params, c)
     p_mods = tuple(params.special_mods)
     q_mods = c.moduli[:len(c.moduli) - len(p_mods)]
     t = params.plain_mod if params.scheme == "BGV" else None
@@ -315,6 +317,98 @@ def key_switch(params, evk, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
     return key_switch_fused(params, evk, c)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedEvalKey:
+    """HYBRID switching key in device execution form: the (b, a) digit
+    stacks pre-converted to Montgomery representation, so each key-switch
+    inner product costs exactly ONE REDC per limb-point instead of a REDC
+    plus an in-graph to-Montgomery conversion of the key operand (the
+    reference's analogue is the precomputed EVAL-format key cache fed to
+    EvalFastKeySwitchCore, keyswitch-hybrid.cpp).
+
+    Create once with `prepare_evk` OUTSIDE jit; pass anywhere an EvalKey
+    is accepted."""
+    b_mont: jax.Array      # [dnum, L_qp, N] uint32, Montgomery form
+    a_mont: jax.Array
+    moduli_qp: tuple = dataclasses.field(metadata=dict(static=True))
+    num_per_part: int = dataclasses.field(metadata=dict(static=True))
+
+
+def prepare_evk(params, evk: EvalKey) -> PreparedEvalKey:
+    """Convert an EvalKey's digit stacks to Montgomery form (one-time)."""
+    plan = rns.make_rns_plan(evk.b.shape[-1], evk.moduli_qp)
+    conv = lambda x: mont_mul_arr(x, plan.r2[:, None], plan.q_arr[:, None],
+                                  plan.qinv_neg[:, None])
+    return PreparedEvalKey(b_mont=conv(evk.b), a_mont=conv(evk.a),
+                           moduli_qp=evk.moduli_qp,
+                           num_per_part=evk.num_per_part)
+
+
+def mont_mul_arr(a, b, q, qinv):
+    from ..math.modmath import mont_mul
+    return mont_mul(a, b, q, qinv)
+
+
+def mod_down_eval(params, t: RnsPoly, drop_q: int = 0) -> RnsPoly:
+    """EVALUATION-domain ApproxModDown, optionally fused with CKKS
+    rescale: divide t (over basis Q_l + P, EVAL) by P * (product of the
+    last `drop_q` q-limbs), returning an EVAL poly over the shortened
+    Q basis.
+
+    The reference round-trips the FULL extended basis through COEFFICIENT
+    format (dcrtpoly-impl.h:988 ApproxModDown operates limb-wise on COEFF
+    data); here only the |P| + drop_q dropped limbs are iNTT'd, the
+    switched correction is NTT'd back over the kept limbs, and the
+    subtraction + scaling stay in EVAL — 2x fewer limb transforms, and
+    rescale fusion (drop_q = composite degree) removes the separate
+    ModReduce COEFF round-trip entirely (ckksrns-leveledshe.cpp:162-183).
+
+    For BGV (params.scheme == "BGV") the dropped-limb correction is
+    lifted to a multiple of the plaintext modulus t, as in the
+    reference's tInvModq path."""
+    from ..math.modmath import mont_mul, sub_mod
+    ext_mods = t.moduli
+    p_mods = tuple(params.special_mods)
+    kp = len(p_mods)
+    Lq_full = len(ext_mods) - kp          # q-limbs present
+    assert ext_mods[Lq_full:] == p_mods
+    keep = Lq_full - drop_q
+    keep_mods = ext_mods[:keep]
+    d_mods = ext_mods[keep:]              # dropped q-limbs + P (contiguous)
+    plan_d = rns.make_rns_plan(t.N, d_mods)
+    plan_k = rns.make_rns_plan(t.N, keep_mods)
+
+    tmod = params.plain_mod if params.scheme == "BGV" else None
+    x_d = t.data[..., keep:, :]
+    if tmod is not None:
+        tinv = np.array([pow(tmod % m, -1, m) for m in d_mods],
+                        dtype=np.uint32)
+        tinv_m = jnp.asarray([(int(v) << 32) % m
+                              for v, m in zip(tinv, d_mods)],
+                             dtype=jnp.uint32)
+        x_d = mont_mul(x_d, tinv_m[:, None], plan_d.q_arr[:, None],
+                       plan_d.qinv_neg[:, None])
+    x_d = rns.ntt_inverse(plan_d, x_d)
+    sw = rns.switch_crt_basis_approx(
+        rns.RnsPoly(x_d, d_mods, COEFF), keep_mods)
+    sw_eval = rns.ntt_forward(plan_k, sw.data)
+    if tmod is not None:
+        tm = jnp.asarray([(int(tmod % m) << 32) % m for m in keep_mods],
+                         dtype=jnp.uint32)
+        sw_eval = mont_mul(sw_eval, tm[:, None], plan_k.q_arr[:, None],
+                           plan_k.qinv_neg[:, None])
+    D = 1
+    for m in d_mods:
+        D *= m
+    dinv = jnp.asarray([(pow(D % m, -1, m) << 32) % m for m in keep_mods],
+                       dtype=jnp.uint32)                 # Montgomery form
+    qk = plan_k.q_arr[:, None]
+    diff = sub_mod(t.data[..., :keep, :], sw_eval, qk)
+    out = mont_mul(diff, dinv[:, None], qk, plan_k.qinv_neg[:, None])
+    return RnsPoly(out, keep_mods, EVAL)
+
+
 @functools.lru_cache(maxsize=None)
 def _digit_consts(q_mods: tuple, p_mods: tuple, npp: int):
     """Stacked per-digit ModUp constants so all dnum digits run ONE
@@ -344,14 +438,60 @@ def _digit_consts(q_mods: tuple, p_mods: tuple, npp: int):
     return qhatinv, qhat_to, exact
 
 
-def key_switch_fused(params, evk: EvalKey, c: RnsPoly
-                     ) -> tuple[RnsPoly, RnsPoly]:
-    """KeySwitchCore with all digits stacked into uniform tensors: one
-    batched ModUp [dnum, L_ext, N], ONE forward NTT over all digits, the
-    digit inner products as a batched multiply + modular digit-sum, and
-    BOTH components ModDown'd in one batched call.  Bit-exact vs the
-    per-digit key_switch_precompute/key_switch_apply pipeline (tested);
-    ~25% less device time at N=2^14 (fewer op dispatches, fused XLA)."""
+@functools.lru_cache(maxsize=None)
+def _sw_maps(q_mods: tuple, p_mods: tuple, npp: int):
+    """Host index maps for the switched-rows-only ModUp: for each digit d
+    the rows of the extended basis OUTSIDE d's own limb window need a
+    CRT basis switch (and a forward NTT); the rows INSIDE the window are
+    the input limbs verbatim and reuse the caller's EVAL data with no
+    transform.  Returns (sw_digit[r], sw_pos[r], sw_mods, perm) where
+    perm[(d, j)] gathers the final [dnum, M] EVAL stack out of
+    concat(switched_ntt [n_sw], x_eval [L])."""
+    L = len(q_mods)
+    ext = tuple(q_mods) + tuple(p_mods)
+    M = len(ext)
+    dnum = -(-L // npp)
+    sw_digit, sw_pos, sw_mods = [], [], []
+    perm = np.zeros(dnum * M, dtype=np.int32)
+    for d in range(dnum):
+        lo, hi = d * npp, min((d + 1) * npp, L)
+        for j in range(M):
+            if lo <= j < hi:
+                perm[d * M + j] = len(ext) * 0 + j      # x_eval row j
+            else:
+                perm[d * M + j] = -(len(sw_digit) + 1)  # switched row marker
+                sw_digit.append(d)
+                sw_pos.append(j)
+                sw_mods.append(ext[j])
+    n_sw = len(sw_digit)
+    # resolve markers: src = concat(switched [n_sw], x_eval [L])
+    out_perm = np.zeros(dnum * M, dtype=np.int32)
+    for i, v in enumerate(perm):
+        out_perm[i] = (-v - 1) if v < 0 else (n_sw + v)
+    return (np.array(sw_digit, np.int32), np.array(sw_pos, np.int32),
+            tuple(sw_mods), out_perm)
+
+
+def key_switch_core(params, evk, c: RnsPoly,
+                    extra: tuple | None = None, drop_q: int = 0
+                    ) -> tuple[RnsPoly, RnsPoly]:
+    """HYBRID KeySwitchCore, fully fused and EVAL-centric
+    (keyswitch-hybrid.cpp:322-380 + ApproxModDown, re-architected):
+
+      * digit ModUp computes ONLY the switched rows (the digit's own limbs
+        reuse the input's EVALUATION data -- dnum*M - L forward NTTs
+        instead of dnum*M);
+      * the digit inner products run against Montgomery-form key stacks
+        (PreparedEvalKey) -- one REDC per limb-point;
+      * `extra = (e0, e1)` (EVAL over Q_l) is scaled by P and folded into
+        the extended-basis accumulators, so EvalMult's d0/d1 ride the SAME
+        ModDown (relinearize + rescale share one basis change);
+      * ModDown runs in EVALUATION format (mod_down_eval), optionally
+        dropping the last `drop_q` q-limbs too (fused CKKS rescale).
+
+    Returns (d0, d1) over Q_{l-drop_q} in EVAL.  Bit-compatible with the
+    reference pipeline's RNS semantics; the approximate-conversion slack
+    matches ApproxSwitchCRTBasis (u < #dropped-limbs)."""
     from ..math.modmath import mont_mul, add_mod
     q_mods = c.moduli
     L = len(q_mods)
@@ -362,10 +502,7 @@ def key_switch_fused(params, evk: EvalKey, c: RnsPoly
     dnum = -(-L // npp)
     N = c.N
 
-    qhatinv_np, qhat_to_np, exact_np = _digit_consts(tuple(q_mods), p_mods,
-                                                     npp)
-    # compact to each digit's own limb window [dnum, npp] (padded tail):
-    # the dense [dnum, L] form wastes (dnum-1)/dnum of the multiplies
+    qhatinv_np, qhat_to_np, _ = _digit_consts(tuple(q_mods), p_mods, npp)
     Lp = dnum * npp
     qhi_c = np.zeros((dnum, npp), np.uint32)
     qto_c = np.zeros((dnum, npp, M), np.uint32)
@@ -379,65 +516,106 @@ def key_switch_fused(params, evk: EvalKey, c: RnsPoly
         qarr_c[d, :w] = np.array(q_mods[lo:hi], np.uint32)
         for t in range(npp):
             qinv_c[d, t] = (-pow(int(qarr_c[d, t]), -1, 1 << 32)) % (1 << 32)
-    exact = jnp.asarray(exact_np)
 
+    sw_digit_np, sw_pos_np, sw_mods, perm_np = _sw_maps(tuple(q_mods),
+                                                        p_mods, npp)
+    n_sw = len(sw_mods)
+    sw_plan = rns.make_rns_plan(N, sw_mods)
     ext_plan = rns.make_rns_plan(N, ext_mods)
+    # per-switched-row constants: qto_sw[r, t] = qhat_to of digit d's
+    # window limb t at target position sw_pos[r]
+    qto_sw = qto_c[sw_digit_np, :, :][np.arange(n_sw), :, sw_pos_np]
+    sw_q = np.array(sw_mods, np.uint32)
+    sw_qinv = np.array([(-pow(int(m), -1, 1 << 32)) % (1 << 32)
+                        for m in sw_mods], np.uint32)
 
-    # inner products against the key digits (over the Q_l + P limbs)
     idx = jnp.asarray([evk.moduli_qp.index(q) for q in ext_mods])
-    evb = jnp.take(evk.b, idx, axis=1)[:dnum]                # [dnum, M, N]
-    eva = jnp.take(evk.a, idx, axis=1)[:dnum]
+    prepared = isinstance(evk, PreparedEvalKey)
+    evb = jnp.take(evk.b_mont if prepared else evk.b, idx, axis=1)[:dnum]
+    eva = jnp.take(evk.a_mont if prepared else evk.a, idx, axis=1)[:dnum]
 
-    def _core(x):                                            # x: [L, N]
-        xp = jnp.concatenate(
-            [x, jnp.zeros((Lp - L, N), jnp.uint32)], axis=0
-        ).reshape(dnum, npp, N) if Lp != L else x.reshape(dnum, npp, N)
-        # y[d, t] = x_{d*npp+t} * qhatinv (digit's own limbs only)
+    eq = ext_plan.q_arr[:, None]
+    einv = ext_plan.qinv_neg[:, None]
+    if not prepared:
+        r2 = ext_plan.r2[:, None]
+        evb = mont_mul(evb, r2[None], eq[None], einv[None])
+        eva = mont_mul(eva, r2[None], eq[None], einv[None])
+
+    pmodq_mont = None
+    if extra is not None:
+        pm = _p_mod_q(p_mods, tuple(q_mods))
+        pmodq_mont = jnp.asarray(
+            np.array([(int(v) << 32) % q for v, q in zip(pm, q_mods)],
+                     np.uint32))
+    qk = rns.make_rns_plan(N, tuple(q_mods)).q_arr[:, None]
+    qkinv = rns.make_rns_plan(N, tuple(q_mods)).qinv_neg[:, None]
+
+    def _core(x_coeff, x_eval, e0, e1):
+        """Leading-dim-polymorphic: x_* are [..., L, N]; every step uses
+        axis-relative ops (no vmap -- batched calls compile to the same
+        HLO as single calls with one more major dimension)."""
+        lead = x_coeff.shape[:-2]
+        if Lp != L:
+            xp = jnp.concatenate(
+                [x_coeff, jnp.zeros(lead + (Lp - L, N), jnp.uint32)],
+                axis=-2)
+        else:
+            xp = x_coeff
+        xp = xp.reshape(lead + (dnum, npp, N))
         y = mont_mul(xp, jnp.asarray(qhi_c)[:, :, None],
                      jnp.asarray(qarr_c)[:, :, None],
-                     jnp.asarray(qinv_c)[:, :, None])        # [dnum, npp, N]
-        eq = ext_plan.q_arr[:, None]
-        einv = ext_plan.qinv_neg[:, None]
-        terms = mont_mul(y[:, :, None, :], jnp.asarray(qto_c)[:, :, :, None],
-                         eq, einv)                           # [dnum,npp,M,N]
-        acc = terms[:, 0]
+                     jnp.asarray(qinv_c)[:, :, None])    # [..., dnum, npp, N]
+        # switched rows only: acc[r] = sum_t y[sw_digit[r], t] * qto_sw[r, t]
+        y_sw = jnp.take(y, jnp.asarray(sw_digit_np), axis=-3)
+        terms = mont_mul(y_sw, jnp.asarray(qto_sw)[:, :, None],
+                         jnp.asarray(sw_q)[:, None, None],
+                         jnp.asarray(sw_qinv)[:, None, None])
+        acc = terms[..., 0, :]
         for i in range(1, npp):
-            acc = add_mod(acc, terms[:, i], eq)              # [dnum, M, N]
-        x_ext = jnp.concatenate(
-            [x, jnp.zeros((len(p_mods), N), jnp.uint32)], axis=0)
-        ups = jnp.where(exact[:, :, None].astype(bool), x_ext[None], acc)
-        ups = rns.ntt_forward(ext_plan, ups)                 # [dnum, M, N]
+            acc = add_mod(acc, terms[..., i, :], jnp.asarray(sw_q)[:, None])
+        acc = rns.ntt_forward(sw_plan, acc)              # [..., n_sw, N]
+        src = jnp.concatenate([acc, x_eval], axis=-2)
+        ups = jnp.take(src, jnp.asarray(perm_np), axis=-2
+                       ).reshape(lead + (dnum, M, N))
 
-        r2 = ext_plan.r2[:, None]
-        bm = mont_mul(evb, r2[None], eq[None], einv[None])
-        am = mont_mul(eva, r2[None], eq[None], einv[None])
-        t0 = mont_mul(ups, bm, eq[None], einv[None])
-        t1 = mont_mul(ups, am, eq[None], einv[None])
-        d0 = t0[0]
-        d1 = t1[0]
+        t0 = mont_mul(ups, evb, eq[None], einv[None])
+        t1 = mont_mul(ups, eva, eq[None], einv[None])
+        d0 = t0[..., 0, :, :]
+        d1 = t1[..., 0, :, :]
         for d in range(1, dnum):
-            d0 = add_mod(d0, t0[d], eq)
-            d1 = add_mod(d1, t1[d], eq)
+            d0 = add_mod(d0, t0[..., d, :, :], eq)
+            d1 = add_mod(d1, t1[..., d, :, :], eq)
 
-        # ONE batched ModDown for both components
+        if e0 is not None:
+            pe0 = mont_mul(e0, pmodq_mont[:, None], qk, qkinv)
+            pe1 = mont_mul(e1, pmodq_mont[:, None], qk, qkinv)
+            d0 = jnp.concatenate(
+                [add_mod(d0[..., :L, :], pe0, qk), d0[..., L:, :]], axis=-2)
+            d1 = jnp.concatenate(
+                [add_mod(d1[..., :L, :], pe1, qk), d1[..., L:, :]], axis=-2)
+
         both = rns.RnsPoly(jnp.stack([d0, d1]), ext_mods, EVAL)
-        t = params.plain_mod if params.scheme == "BGV" else None
-        down = rns.to_eval(rns.approx_mod_down(rns.to_coeff(both),
-                                               tuple(q_mods), p_mods, t))
+        down = mod_down_eval(params, both, drop_q)
         return down.data[0], down.data[1]
 
-    c_coeff = rns.to_coeff(c)
-    x = c_coeff.data                                         # [..., L, N]
-    if x.ndim > 2:
-        lead = x.shape[:-2]
-        fn = _core
-        for _ in lead:
-            fn = jax.vmap(fn)
-        d0, d1 = fn(x)
+    if c.fmt == EVAL:
+        x_eval = c.data
+        x_coeff = rns.to_coeff(c).data
     else:
-        d0, d1 = _core(x)
-    return (RnsPoly(d0, tuple(q_mods), EVAL),
-            RnsPoly(d1, tuple(q_mods), EVAL))
+        x_coeff = c.data
+        x_eval = rns.to_eval(c).data
+    e0 = extra[0].data if extra is not None else None
+    e1 = extra[1].data if extra is not None else None
+
+    out_mods = tuple(q_mods)[:L - drop_q]
+    d0, d1 = _core(x_coeff, x_eval, e0, e1)
+    return (RnsPoly(d0, out_mods, EVAL), RnsPoly(d1, out_mods, EVAL))
+
+
+def key_switch_fused(params, evk, c: RnsPoly) -> tuple[RnsPoly, RnsPoly]:
+    """KeySwitchCore (no extras, no rescale fusion) -- see
+    key_switch_core."""
+    return key_switch_core(params, evk, c)
 
 
 # ---------------------------------------------------------------------------

@@ -17,11 +17,15 @@ TPU redesign notes:
   becomes a masked select, and the per-digit key choice becomes a traced
   gather over the value axis, so a whole ciphertext batch scans the
   n*digitsR steps in lockstep on the MXU NTT path.
-* LMKCDEY's control flow (grouping by discrete log) is inherently
-  data-dependent, so it runs host-orchestrated per ciphertext over jit
-  leaf ops; it exists for key-size parity -- the batch throughput path on
-  TPU is CGGI (see boot.py).  LMKCDEY requires q == 2N (round-to-odd
-  exponents), like the reference's *_LMKCDEY paramsets.
+* LMKCDEY's control flow (grouping by discrete log) is data-dependent,
+  but only through the op SCHEDULE, not the op shapes: lmk_schedule
+  compiles the exponent-ladder walk into a uniform batched op stream on
+  the host (cheap numpy), and blind_rotate_lmkcdey_scan executes it as
+  ONE jitted lax.scan with masked keyed-automorphism/external-product
+  steps -- bit-identical to the host-orchestrated loop
+  (blind_rotate_lmkcdey, kept as the bit-exactness anchor).  LMKCDEY
+  requires q == 2N (round-to-odd exponents), like the reference's
+  *_LMKCDEY paramsets.
 * Monomials X^m never materialize: their EVALUATION values are gathered
   from the psi-power table (boot.psi_powers_mont), so the reference's
   "isReducedMM" negacyclic wrap branch disappears.
@@ -354,3 +358,258 @@ def blind_rotate_lmkcdey(params: TfheParams, rgsw_keys: jax.Array,
             cur = ev.ext_product(cur, rgsw_keys[j])
         outs.append(cur)
     return jnp.stack(outs)
+
+
+# ---------------------------------------------------------------------------
+# LMKCDEY, jitted: trace-time schedule + one compiled scan
+# ---------------------------------------------------------------------------
+
+def _sdd_single_jnp(params: TfheParams, c: jax.Array) -> jax.Array:
+    """Approximate signed decomposition of ONE poly, jnp (bit-identical
+    to _sdd_single's sequential-borrow semantics via the closed-form
+    balanced-digit identity used by rgsw.signed_digit_decompose).
+    c: [..., N] uint32 -> [..., dGa, N] int32."""
+    Q = params.Q
+    g_bits = params.base_g.bit_length() - 1
+    bg = params.base_g
+    dgt = params.digits_g
+    d = c.astype(jnp.int32)
+    d = jnp.where(d >= jnp.int32(Q >> 1), d - jnp.int32(Q), d)
+    offset = sum((bg >> 1) << (g_bits * t) for t in range(dgt))
+    ud = d + jnp.int32(offset)
+    digs = [((ud >> (g_bits * t)) & jnp.int32(bg - 1)) - jnp.int32(bg >> 1)
+            for t in range(1, dgt)]
+    return jnp.stack(digs, axis=-2)
+
+
+def lmk_schedule(params: TfheParams, a_host: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Host (numpy, vectorized over the batch): compile the LMKCDEY
+    exponent-ladder walk (rgsw-acc-lmkcdey.cpp EvalAcc :70-155) into a
+    uniform per-element op stream for ONE jitted scan.
+
+    Op kinds per slot: 0 = noop (padding), 1 = keyed automorphism
+    (param1 = auto key index: 0 -> X^{2N-5} conjugation, k in [1, w] ->
+    X^{5^k}), 2 = external product with rgsw key param2, preceded by an
+    automorphism of power param1 (0 = none).
+
+    The emitted sequence reproduces the reference's lazy-composition
+    flush discipline exactly: between consecutive stops separated by g
+    exponent steps the applied automorphisms are [w, w, ..., w, g mod w]
+    with the remainder merged into the stop's op; the conjugation is a
+    forced stop between the ladder's two phases.
+
+    Returns (kinds [B, T], p1 [B, T], p2 [B, T], T)."""
+    N = params.N
+    M = 2 * N
+    Nh = N // 2
+    w = params.num_auto_keys
+    B, n = a_host.shape
+    log_gen = _log_gen_table(N)
+
+    a_odd = ((M - (a_host.astype(np.int64) % M)) % M) | 1
+    idx = log_gen[a_odd]                                     # [B, n] signed
+    pos = np.where(idx == M, Nh - 1,
+                   np.where(idx < 0, Nh - 1 + idx,
+                            np.where(idx == 0, 2 * Nh - 1, 2 * Nh - 1 - idx)))
+    # stable sort by (position, j): processing order == the reference's
+    # per-group ascending-j appends
+    keyed = pos * (n + 1) + np.arange(n)[None, :]
+    order = np.argsort(keyed, axis=1, kind="stable")
+    pos_s = np.take_along_axis(pos, order, axis=1)           # [B, n]
+    j_s = order.astype(np.int32)
+
+    # stop table: n secrets + conjugation stop + tail stop
+    S = n + 2
+    stop_pos = np.zeros((B, S), dtype=np.int64)
+    stop_kind = np.zeros((B, S), dtype=np.int32)   # 0 ext, 1 conj, 2 tail
+    stop_j = np.zeros((B, S), dtype=np.int32)
+    # interleave the conj stop after all pos <= Nh-1 entries
+    n_neg = (pos_s <= Nh - 1).sum(axis=1)                    # [B]
+    for_cols = np.arange(S)[None, :]
+    # column layout per row: [secrets with pos <= Nh-1][conj][rest][tail]
+    before = for_cols < n_neg[:, None]
+    at_conj = for_cols == n_neg[:, None]
+    after = (for_cols > n_neg[:, None]) & (for_cols < S - 1)
+    sec_idx = np.where(before, for_cols,
+                       np.clip(for_cols - 1, 0, n - 1))
+    stop_pos = np.where(before | after,
+                        np.take_along_axis(
+                            np.pad(pos_s, ((0, 0), (0, 1))), sec_idx,
+                            axis=1),
+                        np.where(at_conj, Nh - 1, 2 * Nh - 1))
+    stop_kind = np.where(at_conj, 1, np.where(for_cols == S - 1, 2, 0))
+    stop_j = np.where(before | after,
+                      np.take_along_axis(
+                          np.pad(j_s, ((0, 0), (0, 1))), sec_idx, axis=1),
+                      0).astype(np.int32)
+
+    # previous position: conj advances the walk by one step (to Nh)
+    prev = np.concatenate([np.zeros((B, 1), np.int64), stop_pos[:, :-1]],
+                          axis=1)
+    prev_kind = np.concatenate([np.full((B, 1), -1, np.int32),
+                                stop_kind[:, :-1]], axis=1)
+    base = np.where(prev_kind == 1, Nh, prev)
+    g = np.maximum(stop_pos - base, 0)                        # [B, S]
+    k_full = g // w
+    r = (g % w).astype(np.int32)
+    # slots per stop: k_full pure autos + 1 stop op; tail's remainder
+    # cannot merge (no ext follows) -> one extra pure-auto slot
+    extra_tail = ((stop_kind == 2) & (r > 0)).astype(np.int64)
+    # conj stop: its remainder r is a pure auto too
+    extra_conj = ((stop_kind == 1) & (r > 0)).astype(np.int64)
+    slots = k_full + 1 + extra_tail + extra_conj
+    off_end = np.cumsum(slots, axis=1)
+    off = off_end - slots                                     # start slot
+    T = int(off_end[:, -1].max())
+
+    kinds = np.zeros((B, T), dtype=np.int32)
+    p1 = np.zeros((B, T), dtype=np.int32)
+    p2 = np.zeros((B, T), dtype=np.int32)
+    rows = np.arange(B)
+    for t in range(S):
+        kmax = int(k_full[:, t].max())
+        for u in range(kmax):
+            m = k_full[:, t] > u
+            kinds[rows[m], off[m, t] + u] = 1
+            p1[rows[m], off[m, t] + u] = w
+        pos_op = off[:, t] + k_full[:, t]
+        kt = stop_kind[:, t]
+        # pure remainder auto for conj/tail stops
+        m = ((kt == 1) | (kt == 2)) & (r[:, t] > 0)
+        kinds[rows[m], pos_op[m]] = 1
+        p1[rows[m], pos_op[m]] = r[m, t]
+        pos_op = pos_op + m.astype(np.int64)
+        # the stop op itself
+        m_ext = kt == 0
+        kinds[rows[m_ext], pos_op[m_ext]] = 2
+        p1[rows[m_ext], pos_op[m_ext]] = r[m_ext, t]
+        p2[rows[m_ext], pos_op[m_ext]] = stop_j[m_ext, t]
+        m_conj = kt == 1
+        kinds[rows[m_conj], pos_op[m_conj]] = 1
+        p1[rows[m_conj], pos_op[m_conj]] = 0  # conj key index 0
+        # tail stop emits nothing further
+    return kinds, p1, p2, T
+
+
+def _lmk_perm_table(params: TfheParams) -> np.ndarray:
+    """[w+2, N] automorphism index permutations: row 0 = X^{2N-5}, row
+    k in [1, w] = X^{5^k}, row w+1 = identity (merged-auto power 0)."""
+    N = params.N
+    M = 2 * N
+    w = params.num_auto_keys
+    i = np.arange(N, dtype=np.int64)
+    rows = []
+    for ridx in range(w + 2):
+        if ridx == 0:
+            k = M - 5
+        elif ridx <= w:
+            k = pow(5, ridx, M)
+        else:
+            k = 1
+        e = ((2 * i + 1) * k) % M
+        rows.append(((e - 1) // 2).astype(np.int32))
+    return np.stack(rows)
+
+
+def blind_rotate_lmkcdey_scan(params: TfheParams, rgsw_keys: jax.Array,
+                              auto_keys: jax.Array, acc: jax.Array,
+                              a_host: np.ndarray,
+                              ntt_impl: str | None = None,
+                              mxu=None) -> jax.Array:
+    """LMKCDEY accumulation as ONE jitted lax.scan over a trace-time-
+    compiled op schedule (the VERDICT's 'trace-time grouping' plan): the
+    data-dependent discrete-log grouping runs on the host as a cheap
+    numpy pass (lmk_schedule), and the device executes a uniform batched
+    op stream -- keyed automorphisms and external products selected per
+    element by masked gathers.  Bit-identical to blind_rotate_lmkcdey
+    (tested): same op order, same leaf arithmetic.
+
+    acc: [B, 2, N] EVAL; a_host: [B, n] numpy mod q = 2N."""
+    N, Q = params.N, params.Q
+    B = acc.shape[0]
+    w = params.num_auto_keys
+    plan = nttmod.make_plan(N, Q)
+    impl = ntt_impl
+    kinds_np, p1_np, p2_np, T = lmk_schedule(params, np.asarray(a_host))
+    # bucket T so repeated batches reuse the compiled executable
+    Tb = -(-T // 64) * 64
+    pad = Tb - T
+    if pad:
+        z = np.zeros((B, pad), np.int32)
+        kinds_np = np.concatenate([kinds_np, z], axis=1)
+        p1_np = np.concatenate([p1_np, z], axis=1)
+        p2_np = np.concatenate([p2_np, z], axis=1)
+    perm_table = jnp.asarray(_lmk_perm_table(params))
+
+    # initial keyless body rotation by X^{2N-5} (mask part is zero)
+    perm0 = perm_table[0]
+    acc = acc.at[:, 1].set(jnp.take(acc[:, 1], perm0, axis=-1))
+
+    fn = _lmk_scan_fn(params, impl, Tb)
+    return fn(rgsw_keys, auto_keys, acc, jnp.asarray(kinds_np),
+              jnp.asarray(p1_np), jnp.asarray(p2_np), perm_table,
+              mxu)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _lmk_scan_fn(params: TfheParams, impl, Tb: int):
+    """One jitted executable per (params, impl, bucketed stream length):
+    a lax.scan over the op stream; key stacks, schedule tensors, and the
+    permutation table are ARGUMENTS (not trace constants), so every
+    batch with the same Tb bucket reuses the compilation."""
+    N, Q = params.N, params.Q
+    w = params.num_auto_keys
+    plan = nttmod.make_plan(N, Q)
+    qinv = u32(plan.qinv_neg)
+
+    def body(rgsw_keys, auto_keys, acc, kinds, p1, p2, perm_table, mxu):
+        def step(acc, xs):
+            kind, pp1, pp2 = xs                       # [B] each
+            # permutation row: kind1 -> key index pp1 (0 conj, 1..w);
+            # kind2 -> pre-auto power pp1 (0 -> identity row w+1)
+            prow = jnp.where(kind == 1, pp1,
+                             jnp.where(pp1 > 0, pp1, w + 1))
+            perm = perm_table[prow]                   # [B, N]
+            acc_p = jnp.take_along_axis(acc, perm[:, None, :], axis=-1)
+            # keyed automorphism of acc_p (kind1 and kind2's pre-auto)
+            cta = acc_p[:, 0]
+            a1 = acc_p[:, 1]
+            c_coef = nttmod.ntt_inverse(plan, cta, impl, mxu)
+            adig = _sdd_single_jnp(params, c_coef)    # [B, dGa, N]
+            ad_eval = rgsw.ntt_signed_digits(plan, adig, impl, mxu)
+            akey_idx = jnp.where(kind == 1, pp1,
+                                 jnp.where(pp1 > 0, pp1, 0))
+            akey = jnp.take(auto_keys, akey_idx, axis=0)
+            prod = mont_mul(ad_eval[:, :, None, :], akey, Q, qinv)
+            auto_out = jnp.concatenate(
+                [jnp.zeros_like(a1)[:, None], a1[:, None]], axis=1)
+            for t in range(prod.shape[1]):
+                auto_out = add_mod(auto_out, prod[:, t], Q)
+            # external product; input = pre-auto output when pp1 > 0
+            use_auto = ((kind == 2) & (pp1 > 0))[:, None, None]
+            ext_in = jnp.where(use_auto, auto_out, acc)
+            c2 = nttmod.ntt_inverse(plan, ext_in, impl, mxu)
+            digs = rgsw.signed_digit_decompose(params, c2)
+            d_eval = rgsw.ntt_signed_digits(plan, digs, impl, mxu)
+            rkey = jnp.take(rgsw_keys, pp2, axis=0)   # [B, dG2, 2, N]
+            ext_out = mont_mul(d_eval[:, 0, None, :], rkey[:, 0], Q, qinv)
+            for t in range(1, rkey.shape[1]):
+                ext_out = add_mod(
+                    ext_out,
+                    mont_mul(d_eval[:, t, None, :], rkey[:, t], Q, qinv),
+                    Q)
+            k3 = kind[:, None, None]
+            out = jnp.where(k3 == 2, ext_out,
+                            jnp.where(k3 == 1, auto_out, acc))
+            return out, None
+
+        xs = (jnp.swapaxes(kinds, 0, 1), jnp.swapaxes(p1, 0, 1),
+              jnp.swapaxes(p2, 0, 1))
+        out, _ = jax.lax.scan(step, acc, xs)
+        return out
+
+    return jax.jit(body)

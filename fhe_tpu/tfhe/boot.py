@@ -452,8 +452,11 @@ def _finish_gate(params: TfheParams, key, gate: Gate,
     impl, plan, mxu = resolve_ntt(params, ntt_impl)
     from . import acc as accmod
     if isinstance(key, accmod.LmkcdeyKey):
-        # host-orchestrated accumulator (data-dependent discrete-log
-        # grouping): eager device ops instead of one jitted pipeline
+        # trace-time schedule + ONE jitted scan (acc.lmk_schedule /
+        # blind_rotate_lmkcdey_scan); FHE_LMK_EAGER=1 selects the
+        # reference-shaped host-orchestrated loop (kept as the
+        # bit-exactness anchor)
+        import os
         lead = comb.batch_shape
         a = comb.a.reshape(-1, params.n)
         b = comb.b.reshape(-1)
@@ -461,8 +464,13 @@ def _finish_gate(params: TfheParams, key, gate: Gate,
         acc0 = jnp.concatenate(
             [jnp.zeros((tv.shape[0], 1, params.N), dtype=U32),
              nttmod.ntt_forward(plan, tv, impl, mxu)[:, None, :]], axis=1)
-        rot = accmod.blind_rotate_lmkcdey(params, key.rgsw, key.auto, acc0,
-                                          np.asarray(a), impl, mxu)
+        if os.environ.get("FHE_LMK_EAGER") == "1":
+            rot = accmod.blind_rotate_lmkcdey(params, key.rgsw, key.auto,
+                                              acc0, np.asarray(a), impl, mxu)
+        else:
+            rot = accmod.blind_rotate_lmkcdey_scan(params, key.rgsw,
+                                                   key.auto, acc0,
+                                                   np.asarray(a), impl, mxu)
         ct_ext = extract_lwe(params, rot, b_offset, impl, plan, mxu)
         ct_ext = lwe.LweCiphertext(a=ct_ext.a.reshape(*lead, params.N),
                                    b=ct_ext.b.reshape(lead),

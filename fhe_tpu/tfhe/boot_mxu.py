@@ -37,9 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..math import ntt as nttmod
 from ..math import ntt_lane as nl
-from ..math.modmath import (U32, u32, add_mod, sub_mod, shoup_mul, mont_mul)
+from ..math.modmath import (U32, u32, add_mod, sub_mod, shoup_mul,
+                            shoup_mul_lazy, mont_mul)
 from .params import TfheParams
 from . import boot, rgsw
+
+
+def _ablate() -> frozenset:
+    """Trace-time stage-ablation hook for kernel profiling ONLY
+    (FHE_MEGA_ABLATE=no_intt,no_decomp,no_fwd,no_ext,no_mono): replaces a
+    stage with a cheap shape-preserving stand-in so its cost can be
+    differenced out on real hardware.  Never set in production."""
+    import os
+    v = os.environ.get("FHE_MEGA_ABLATE", "")
+    return frozenset(s for s in v.split(",") if s)
 
 
 @functools.lru_cache(maxsize=None)
@@ -60,14 +71,28 @@ def _roll2(x, s):
     return pltpu.roll(x, s % n, axis=x.ndim - 2)
 
 
-def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
+def _lazy_ok(params: TfheParams) -> bool:
+    """Lazy-reduction bounds for the external product + monomial path:
+    ep < 2*dG2*Q (plain-add accumulated lazy Shoup products) and
+    mono < 2Q must satisfy the REDC bound ep*mono < Q*2^32."""
+    return 4 * params.digits_g2 * params.Q < (1 << 32)
+
+
+def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s, wrev,
                params: TfheParams, zlb: int):
     """One CGGI accumulator update, all in VMEM.
 
     acc  [Bt, 2, n1, 128] uint32 sublane-BR EVAL, plain form;
     bskm/bsks [2, dG2, 2, n1, 128] Montgomery form + Shoup duals (BR);
     ip   [Bt, 1] uint32 rotation indices (multiples of 2N/q);
-    mono/mono_s [logm, n1, 128] plain psi-power tables (BR)."""
+    mono/mono_s [logm, n1, 128] plain psi-power tables (BR);
+    wrev [df*128, df*128] int8 per-plane lane-reversal matrix (or None).
+
+    Reduction discipline: external products accumulate LAZY Shoup
+    values (< 2q each, plain uint32 adds) and the monomial chain carries
+    < 2q values; both feed mont_mul, whose REDC tolerates any a*b <
+    q*2^32 and emits canonical (< q) results -- bit-identical to the
+    fully-reduced pipeline with ~20 fewer VPU ops per step."""
     Q = params.Q
     N = params.N
     n1 = lp.n1
@@ -76,9 +101,14 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
     dg2 = params.digits_g2
     bg = params.base_g
     g_bits = bg.bit_length() - 1
+    ab = _ablate()
+    lazy = _lazy_ok(params)
 
     # ---- inverse NTT (sublane-BR EVAL -> COEFF interleaved) ----
-    c = nl.inverse_lane_br(lp, acc, _roll2)            # [Bt, 2, n1, 128]
+    if "no_intt" in ab:
+        c = acc
+    else:
+        c = nl.inverse_lane_br(lp, acc, _roll2)        # [Bt, 2, n1, 128]
 
     # ---- parallel balanced digit decompose (digit 0 dropped) ----
     d = c.astype(jnp.int32)
@@ -91,13 +121,23 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
     digits = digits.reshape(Bt, dg2, n1, nl.LANES)
 
     # ---- forward NTT of digits (MXU signed 2-plane path) ----
-    lo, hi = nttmod.balanced_base128(digits)
-    d_eval = nl.forward_lane_digits_br(lp, lo, hi, _roll2)
+    if "no_fwd" in ab:
+        d_eval = digits.astype(U32) & u32(Q - 1)
+    else:
+        lo, hi = nttmod.balanced_base128(digits)
+        d_eval = nl.forward_lane_digits_br(lp, lo, hi, _roll2)
 
-    # ---- external products (Shoup, Montgomery-formed results) ----
+    # ---- external products (lazy Shoup, Montgomery-formed results) ----
     def ext(sign):
         # d_eval[:, r:r+1] (lax.slice) -- int+newaxis indexing would
         # lower to a >2D gather, which Mosaic rejects
+        if lazy:
+            accp = shoup_mul_lazy(d_eval[:, 0:1], bskm[sign, 0],
+                                  bsks[sign, 0], Q)
+            for r in range(1, dg2):
+                accp = accp + shoup_mul_lazy(d_eval[:, r:r + 1],
+                                             bskm[sign, r], bsks[sign, r], Q)
+            return accp                                # < 2*dG2*Q
         accp = shoup_mul(d_eval[:, 0:1], bskm[sign, 0], bsks[sign, 0], Q)
         for r in range(1, dg2):
             accp = add_mod(
@@ -105,25 +145,58 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s,
                                 bsks[sign, r], Q), Q)
         return accp                                    # [Bt, 2, n1, 128]
 
-    ep_pos = ext(0)
-    ep_neg = ext(1)
+    if "no_ext" in ab:
+        ep_pos = d_eval[:, 0:2]
+        ep_neg = d_eval[:, 2:4] if dg2 >= 4 else d_eval[:, 0:2]
+    else:
+        ep_pos = ext(0)
+        ep_neg = ext(1)
 
-    # ---- plain monomial chains (X^idx - 1, X^-idx - 1).  The negative
-    # index runs its own chain on (2N - idx): the value-flip identity
-    # (mono_n = lane+sublane flip of the positive chain) would save it,
-    # but lax.rev lowers to an unsupported gather in Mosaic today. ----
+    # ---- monomial values.  ONE lazy exp-by-squaring chain computes
+    # w = X^idx in EVALUATION; the negative-index values are the flip
+    # w_n[k] = w[N-1-k] (psi^{-idx(2k+1)} = psi^{idx(2(N-1-k)+1)}):
+    # lane reversal runs as a per-plane int8 MXU matmul (wrev) and the
+    # sublane reversal is a static slice-concat -- BR order is flip-
+    # invariant (bit-reverse commutes with bitwise complement), so the
+    # kernel's sublane-BR layout needs no extra permutation. ----
     def chain(idx):
         w = jnp.full((Bt, n1, nl.LANES), np.uint32(1), dtype=U32)
         for j in range(zlb, mono.shape[0]):
             bit = ((idx >> j) & u32(1))[..., None]     # [Bt, 1, 1]
-            wm = shoup_mul(w, mono[j][None], mono_s[j][None], Q)
+            wm = (shoup_mul_lazy if lazy else shoup_mul)(
+                w, mono[j][None], mono_s[j][None], Q)
             w = jnp.where(bit == 1, wm, w)
         return w
 
     one = u32(np.uint32(1))
-    mono_p = sub_mod(chain(ip), one, Q)
-    ineg = (u32(2 * N) - ip) & u32(2 * N - 1)
-    mono_n = sub_mod(chain(ineg), one, Q)
+    if "no_mono" in ab:
+        mono_p = mono[0][None]
+        mono_n = mono[1][None]
+    else:
+        w_p = chain(ip)
+        mono_p = sub_mod(w_p, one, Q)
+        if wrev is not None and lazy:
+            df = wrev.shape[0] // nl.LANES
+            planes = jnp.concatenate(
+                [((w_p >> (7 * v)) & u32(127)).astype(jnp.int8)
+                 for v in range(df)], axis=-1)         # [Bt, n1, df*128]
+            o = jax.lax.dot_general(
+                planes.reshape(-1, df * nl.LANES), wrev,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).reshape(Bt, n1, df * nl.LANES)
+            w_n = o[..., 0:nl.LANES].astype(U32)
+            for v in range(1, df):
+                w_n = w_n + (o[..., v * nl.LANES:(v + 1) * nl.LANES]
+                             .astype(U32) << (7 * v))
+            # sublane flip (BR-order invariant)
+            w_n = jnp.concatenate(
+                [w_n[..., n1 - 1 - i:n1 - i, :] for i in range(n1)],
+                axis=-2)
+            mono_n = sub_mod(w_n, one, Q)
+        else:
+            ineg = (u32(2 * N) - ip) & u32(2 * N - 1)
+            mono_n = sub_mod(chain(ineg), one, Q)
 
     qinv = u32(nttmod.make_plan(N, Q).qinv_neg)
     upd = add_mod(mont_mul(ep_pos, mono_p[:, None], Q, qinv),
@@ -136,7 +209,7 @@ _LP_FIELDS = ("W128f_s2", "W128i", "tw_f", "tw_f_s", "tw_i", "tw_i_s",
 
 
 def _mega_kernel(acc0_ref, bskm_ref, bsks_ref, ip_ref,
-                 mono_ref, monos_ref, *rest, params: TfheParams,
+                 mono_ref, monos_ref, wrev_ref, *rest, params: TfheParams,
                  lp_static: nl.LanePlan, zlb: int):
     import dataclasses
     lp_refs, out_ref = rest[:-1], rest[-1]
@@ -150,11 +223,27 @@ def _mega_kernel(acc0_ref, bskm_ref, bsks_ref, ip_ref,
 
     out_ref[:] = _step_body(out_ref[:], bskm_ref[0], bsks_ref[0],
                             ip_ref[0, 0], lp, mono_ref[:], monos_ref[:],
+                            wrev_ref[:] if wrev_ref is not None else None,
                             params, zlb)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _rev_matrix(df: int) -> jax.Array:
+    """Per-plane lane-reversal int8 matrix [df*128, df*128]: block v is
+    the 128x128 anti-identity, so the digit planes of a uint32 lane
+    vector are each reversed by ONE MXU matmul (Mosaic rejects lax.rev's
+    gather; a 0/1 matmul is the TPU-native permutation)."""
+    with jax.ensure_compile_time_eval():
+        L = nl.LANES
+        J = np.zeros((df * L, df * L), dtype=np.int8)
+        for v in range(df):
+            for i in range(L):
+                J[v * L + i, v * L + (L - 1 - i)] = 1
+        return jnp.asarray(J)
 
 
 @functools.lru_cache(maxsize=None)
@@ -169,6 +258,8 @@ def _mega_call(params: TfheParams, Bt: int, n: int, zlb: int):
                              zlb=zlb)
     ms = pltpu.ANY if _interpret() else pltpu.VMEM
     lp_arrays = tuple(getattr(lp, f) for f in _LP_FIELDS)
+    df = -(-(2 * params.Q - 1).bit_length() // 7)
+    wrev = _rev_matrix(df)
 
     def full_spec(arr):
         nd = arr.ndim
@@ -191,6 +282,7 @@ def _mega_call(params: TfheParams, Bt: int, n: int, zlb: int):
                          memory_space=ms),
             pl.BlockSpec((logm, n1, L), lambda i, j: (0, 0, 0),
                          memory_space=ms),
+            full_spec(wrev),
         ] + [full_spec(t) for t in lp_arrays]
         params_c = None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024)
@@ -203,7 +295,7 @@ def _mega_call(params: TfheParams, Bt: int, n: int, zlb: int):
             out_shape=jax.ShapeDtypeStruct((B, 2, n1, L), jnp.uint32),
             compiler_params=params_c,
             interpret=_interpret(),
-        )(acc, bskm, bsks, ip, mono, mono_s, *lp_arrays)
+        )(acc, bskm, bsks, ip, mono, mono_s, wrev, *lp_arrays)
     return call
 
 

@@ -46,3 +46,37 @@ def test_lmkcdey_requires_q_2n(rng):
     sk = ctx.key_gen(rng)
     with pytest.raises(AssertionError):
         ctx.bt_key_gen(sk, rng)
+
+
+def test_lmkcdey_scan_bitexact_vs_eager(rng):
+    """The jitted op-stream scan (lmk_schedule + blind_rotate_lmkcdey_scan)
+    reproduces the host-orchestrated reference-shaped loop BIT-exactly:
+    same op order, same leaf arithmetic."""
+    from fhe_tpu.tfhe import acc as accmod, params as tp
+    import jax.numpy as jnp
+
+    p = tp.make_params("TOY_LMKCDEY")
+    ctx = BinFheContext.generate("TOY_LMKCDEY", method="LMKCDEY")
+    sk = ctx.key_gen(rng)
+    key = ctx.bt_key_gen(sk, rng)
+    B = 4
+    a = rng.integers(0, p.q, size=(B, p.n)).astype(np.uint32)
+    acc0 = jnp.asarray(
+        rng.integers(0, p.Q, size=(B, 2, p.N)).astype(np.uint32))
+    want = accmod.blind_rotate_lmkcdey(p, key.rgsw, key.auto, acc0, a,
+                                       "butterfly", None)
+    got = accmod.blind_rotate_lmkcdey_scan(p, key.rgsw, key.auto, acc0, a,
+                                           "butterfly", None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_lmkcdey_gates_jitted_scan(rng):
+    """End-to-end LMKCDEY gates through the default (jitted scan) path."""
+    ctx = BinFheContext.generate("TOY_LMKCDEY", method="LMKCDEY")
+    sk = ctx.key_gen(rng)
+    key = ctx.bt_key_gen(sk, rng)
+    ct1 = ctx.encrypt(sk, M1, rng)
+    ct2 = ctx.encrypt(sk, M2, rng)
+    out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)
+    np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk, out, p=4)),
+                                  M1 & M2)

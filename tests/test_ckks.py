@@ -211,3 +211,58 @@ def test_batched_ciphertext_mul_relin_rescale(ctx, keys, rng):
         outb.scale)
     got = ctx.decrypt(sk, one)
     np.testing.assert_allclose(got.real, z * z, atol=1e-3)
+
+
+def test_mul_rescale_fused(ctx, keys, rng):
+    """Fused mult+relin+rescale (key_switch_core extra/drop_q path) agrees
+    with the separate mul-then-rescale pipeline within noise bounds."""
+    sk, pk, evk, _ = keys
+    z1 = rng.normal(size=SLOTS) * 0.5
+    z2 = rng.normal(size=SLOTS) * 0.5
+    ct1 = ctx.encrypt(pk, z1, rng)
+    ct2 = ctx.encrypt(pk, z2, rng)
+    fused = ctx.mul_rescale(ct1, ct2, evk)
+    assert fused.level_limbs == ct1.level_limbs - ctx.cd
+    got = ctx.decrypt(sk, fused)
+    np.testing.assert_allclose(got.real, z1 * z2, atol=1e-3)
+    # matches the unfused pipeline's scale bookkeeping
+    ref = ctx.rescale(ctx.mul(ct1, ct2, evk))
+    assert abs(fused.scale - ref.scale) < 1e-6 * ref.scale
+    # square fast path (a is b)
+    sq = ctx.mul_rescale(ct1, ct1, evk)
+    got2 = ctx.decrypt(sk, sq)
+    np.testing.assert_allclose(got2.real, z1 * z1, atol=1e-3)
+
+
+def test_prepared_evk_matches_plain(ctx, keys, rng):
+    """PreparedEvalKey (Montgomery-form key stacks) is bit-identical to
+    the plain EvalKey path through the fused key switch."""
+    sk, pk, evk, _ = keys
+    pevk = rlwe.prepare_evk(ctx.params, evk)
+    z = rng.normal(size=SLOTS) * 0.5
+    ct = ctx.encrypt(pk, z, rng)
+    a = ctx.mul_rescale(ct, ct, evk)
+    b = ctx.mul_rescale(ct, ct, pevk)
+    np.testing.assert_array_equal(np.asarray(a.c0.data),
+                                  np.asarray(b.c0.data))
+    np.testing.assert_array_equal(np.asarray(a.c1.data),
+                                  np.asarray(b.c1.data))
+    got = ctx.decrypt(sk, b)
+    np.testing.assert_allclose(got.real, z * z, atol=1e-3)
+
+
+def test_mod_down_eval_matches_coeff_roundtrip(ctx, keys, rng):
+    """EVAL-domain ApproxModDown == the COEFF round-trip ModDown up to the
+    shared approximate-conversion slack (identical constants => identical
+    values)."""
+    p = ctx.params
+    q_mods = tuple(p.moduli)
+    p_mods = tuple(p.special_mods)
+    ext = q_mods + p_mods
+    data = np.stack([rng.integers(0, q, size=N, dtype=np.int64)
+                     for q in ext]).astype(np.uint32)
+    t = rns.RnsPoly(rns.to_eval(rns.RnsPoly(
+        np.asarray(data), ext, rns.COEFF)).data, ext, rns.EVAL)
+    a = rlwe.mod_down_eval(p, t)
+    b = rns.to_eval(rns.approx_mod_down(rns.to_coeff(t), q_mods, p_mods))
+    np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
