@@ -186,9 +186,10 @@ def reduce_i32(x, q):
     k = jnp.round(x.astype(F32) * qf).astype(I32)
     r = x - k * jnp.asarray(q, dtype=I32)
     qi = jnp.asarray(q, dtype=I32)
+    # k is within +-1 of round(x/q) (float32 error bound: |x| 2^-23/q +
+    # reciprocal rounding << 1/2), so r in (-1.5q, 1.5q): ONE correction
+    # each direction suffices
     r = jnp.where(r < 0, r + qi, r)
-    r = jnp.where(r < 0, r + qi, r)
-    r = jnp.where(r >= qi, r - qi, r)
     r = jnp.where(r >= qi, r - qi, r)
     return r.astype(U32)
 
@@ -203,9 +204,8 @@ def reduce_i32_arr(x, q_i32, qinv_f32):
     x = x.astype(I32)
     k = jnp.round(x.astype(F32) * qinv_f32).astype(I32)
     r = x - k * q_i32
+    # same +-1 quotient-estimate bound as reduce_i32
     r = jnp.where(r < 0, r + q_i32, r)
-    r = jnp.where(r < 0, r + q_i32, r)
-    r = jnp.where(r >= q_i32, r - q_i32, r)
     r = jnp.where(r >= q_i32, r - q_i32, r)
     return r.astype(U32)
 

@@ -81,6 +81,12 @@ class LanePlan:
     # lane-broadcast (used when d not in (3, 4), e.g. 31-bit PKE primes)
     comb7: jax.Array      # [d, 128]
     comb7_s: jax.Array    # [d, 128]
+    # twiddle-fused recombination (megakernel forward path): the plane
+    # weight 2^14 folded into the pointwise twiddle, tw14 = tw_f * 2^14
+    # mod q (+ shoup dual) -- lets _recombine_tw emit tw-multiplied
+    # values with no separate twiddle pass
+    tw_f14: jax.Array     # [n1, 128]
+    tw_f14_s: jax.Array
 
 
 @functools.lru_cache(maxsize=None)
@@ -187,9 +193,12 @@ def _make_lane_plan(N: int, q: int) -> LanePlan:
         [[shoup_precompute((1 << (7 * v)) % q, q)] for v in range(d)],
         dtype=np.uint32))
 
+    tw_f14 = (tw_f * ((1 << 14) % q)) % q
     return LanePlan(
         N=N, q=q, n1=n1, d=d,
         W128f_s2=W128f_s2, W128f=W128f, W128i=W128i,
+        tw_f14=jnp.asarray(tw_f14.astype(np.uint32)),
+        tw_f14_s=jnp.asarray(shoup_arr(tw_f14)),
         tw_f=jnp.asarray(tw_f.astype(np.uint32)),
         tw_f_s=jnp.asarray(shoup_arr(tw_f)),
         tw_i=jnp.asarray(tw_i.astype(np.uint32)),
@@ -376,6 +385,110 @@ def inverse_lane_br(lp: LanePlan, x: jax.Array,
                     roll=_jnp_roll2) -> jax.Array:
     """inverse_lane consuming sublane-BR EVAL input (kernel order)."""
     u = sublane_dit(lp, x, roll)
+    v = shoup_mul(u, lp.tw_i, lp.tw_i_s, lp.q)
+    planes = _decompose_u32(v, lp.d)
+    o = _lane_matmul(planes, lp.W128i)
+    return _recombine(lp, o)
+
+
+# ---------------------------------------------------------------------------
+# lazy-reduction kernel variants: values ride in [0, 2q) between stages
+# (Harvey-style), with exact reductions only where a consumer needs
+# canonical data.  Congruences are identical to the exact paths, so any
+# pipeline that canonicalizes its final output stays bit-identical.
+# ---------------------------------------------------------------------------
+
+def _sub2q(a, b, q2):
+    """a - b in the [0, 2q) domain: both < 2q -> (a - b + 2q) in (0, 4q),
+    fine as a Shoup multiplicand (any uint32)."""
+    return a + (q2 - b)
+
+
+def _red2q(t, q2):
+    """One conditional subtract: t < 4q -> [0, 2q)."""
+    return jnp.where(t >= q2, t - q2, t)
+
+
+def sublane_dif_lazy(lp: LanePlan, x: jax.Array, roll) -> jax.Array:
+    """sublane_dif with 2q-domain butterflies: input < 2q, output < 2q.
+    Saves the sub_mod select and the Shoup final correction per stage."""
+    q = lp.q
+    q2 = u32(np.uint32(2 * q))
+    n1 = lp.n1
+    logn1 = n1.bit_length() - 1
+    pos = None
+    for s in range(logn1):
+        m = n1 >> s
+        h = m >> 1
+        if pos is None:
+            pos = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 2)
+        lo = ((pos // u32(h)) & u32(1)) == 0
+        partner = jnp.where(lo, roll(x, -h), roll(x, h))
+        from .modmath import shoup_mul_lazy
+        x = jnp.where(lo, _red2q(x + partner, q2),
+                      shoup_mul_lazy(_sub2q(partner, x, q2),
+                                     lp.st2_f[s], lp.st2_f_s[s], q))
+    return x
+
+
+def sublane_dit_lazy(lp: LanePlan, x: jax.Array, roll) -> jax.Array:
+    """sublane_dit with 2q-domain butterflies: input < 2q, output < 2q."""
+    from .modmath import shoup_mul_lazy
+    q = lp.q
+    q2 = u32(np.uint32(2 * q))
+    n1 = lp.n1
+    logn1 = n1.bit_length() - 1
+    pos = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 2)
+    for s in range(logn1):
+        h = 1 << s
+        lo = ((pos // u32(h)) & u32(1)) == 0
+        partner = jnp.where(lo, roll(x, -h), roll(x, h))
+        tv = shoup_mul_lazy(jnp.where(lo, partner, x),
+                            lp.st2_i[s], lp.st2_i_s[s], q)
+        x = jnp.where(lo, _red2q(x + tv, q2),
+                      _red2q(_sub2q(partner, tv, q2), q2))
+    return x
+
+
+def _recombine_tw_lazy(lp: LanePlan, o: jax.Array) -> jax.Array:
+    """_recombine with the forward twiddle FUSED into the plane weights
+    (tw for planes 0-1, tw*2^14 for planes 2-3): emits tw-multiplied
+    values in [0, 2q) with two lazy Shoup products and one 2q-reduction
+    -- replaces recombine + separate twiddle pass.  d in {3, 4} only."""
+    from .modmath import shoup_mul_lazy, reduce_i32
+    q = lp.q
+    q2 = u32(np.uint32(2 * q))
+    L = LANES
+    p = lambda v: o[..., v * L:(v + 1) * L]
+    if lp.d == 4:
+        r01 = reduce_i32(p(0) + (p(1) << 7), q)
+        r23 = reduce_i32(p(2) + (p(3) << 7), q)
+    elif lp.d == 3:
+        r01 = reduce_i32(p(0) + (p(1) << 7), q)
+        r23 = reduce_i32(p(2), q)
+    else:
+        raise ValueError("fused recombine supports d in (3, 4)")
+    t = (shoup_mul_lazy(r01, lp.tw_f, lp.tw_f_s, q)
+         + shoup_mul_lazy(r23, lp.tw_f14, lp.tw_f14_s, q))
+    return _red2q(t, q2)
+
+
+def forward_lane_digits_br_lazy(lp: LanePlan, lo: jax.Array, hi: jax.Array,
+                                roll=_jnp_roll2) -> jax.Array:
+    """forward_lane_digits_br emitting values in [0, 2q) (kernel path:
+    the consumer is a Shoup/REDC multiply that accepts any uint32)."""
+    planes = jnp.concatenate([lo, hi], axis=-1)
+    o = _lane_matmul(planes, lp.W128f_s2)
+    y = _recombine_tw_lazy(lp, o)
+    return sublane_dif_lazy(lp, y, roll)
+
+
+def inverse_lane_br_lazy_in(lp: LanePlan, x: jax.Array,
+                            roll=_jnp_roll2) -> jax.Array:
+    """inverse_lane_br accepting input in [0, 2q) (lazy accumulator);
+    output is CANONICAL coefficients (the gadget decompose needs exact
+    values)."""
+    u = sublane_dit_lazy(lp, x, roll)
     v = shoup_mul(u, lp.tw_i, lp.tw_i_s, lp.q)
     planes = _decompose_u32(v, lp.d)
     o = _lane_matmul(planes, lp.W128i)

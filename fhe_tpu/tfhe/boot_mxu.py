@@ -104,9 +104,14 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s, wrev,
     ab = _ablate()
     lazy = _lazy_ok(params)
 
-    # ---- inverse NTT (sublane-BR EVAL -> COEFF interleaved) ----
+    # ---- inverse NTT (sublane-BR EVAL -> COEFF interleaved).  With the
+    # lazy discipline the carried accumulator lives in [0, 2q) and the
+    # DIT stages run 2q-domain butterflies; the recombined COEFF output
+    # is canonical (the gadget decompose needs exact values). ----
     if "no_intt" in ab:
         c = acc
+    elif lazy:
+        c = nl.inverse_lane_br_lazy_in(lp, acc, _roll2)
     else:
         c = nl.inverse_lane_br(lp, acc, _roll2)        # [Bt, 2, n1, 128]
 
@@ -120,9 +125,14 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s, wrev,
     digits = jnp.stack(digs, axis=1)                   # [Bt, dg, 2, n1, 128]
     digits = digits.reshape(Bt, dg2, n1, nl.LANES)
 
-    # ---- forward NTT of digits (MXU signed 2-plane path) ----
+    # ---- forward NTT of digits (MXU signed 2-plane path; lazy variant
+    # fuses the twiddle into the recombine and emits values < 2q, which
+    # the external product's Shoup multiplies accept verbatim) ----
     if "no_fwd" in ab:
         d_eval = digits.astype(U32) & u32(Q - 1)
+    elif lazy:
+        lo, hi = nttmod.balanced_base128(digits)
+        d_eval = nl.forward_lane_digits_br_lazy(lp, lo, hi, _roll2)
     else:
         lo, hi = nttmod.balanced_base128(digits)
         d_eval = nl.forward_lane_digits_br(lp, lo, hi, _roll2)
@@ -199,13 +209,22 @@ def _step_body(acc, bskm, bsks, ip, lp: nl.LanePlan, mono, mono_s, wrev,
             mono_n = sub_mod(chain(ineg), one, Q)
 
     qinv = u32(nttmod.make_plan(N, Q).qinv_neg)
-    upd = add_mod(mont_mul(ep_pos, mono_p[:, None], Q, qinv),
-                  mont_mul(ep_neg, mono_n[:, None], Q, qinv), Q)
+    m1 = mont_mul(ep_pos, mono_p[:, None], Q, qinv)    # canonical (< q)
+    m2 = mont_mul(ep_neg, mono_n[:, None], Q, qinv)
+    if lazy:
+        # 2q-domain accumulator: acc < 2q, m1 + m2 < 2q (both canonical),
+        # so acc + m1 + m2 < 4q needs ONE reduction; the final grid step
+        # canonicalizes (see _mega_kernel)
+        q2 = u32(np.uint32(2 * Q))
+        t = acc + (m1 + m2)
+        return jnp.where(t >= q2, t - q2, t)
+    upd = add_mod(m1, m2, Q)
     return add_mod(acc, upd, Q)
 
 
-_LP_FIELDS = ("W128f_s2", "W128i", "tw_f", "tw_f_s", "tw_i", "tw_i_s",
-              "st2_f", "st2_f_s", "st2_i", "st2_i_s", "comb14")
+_LP_FIELDS = ("W128f_s2", "W128i", "tw_f", "tw_f_s", "tw_f14", "tw_f14_s",
+              "tw_i", "tw_i_s", "st2_f", "st2_f_s", "st2_i", "st2_i_s",
+              "comb14")
 
 
 def _mega_kernel(acc0_ref, bskm_ref, bsks_ref, ip_ref,
@@ -221,10 +240,16 @@ def _mega_kernel(acc0_ref, bskm_ref, bsks_ref, ip_ref,
     def _init():
         out_ref[:] = acc0_ref[:]
 
-    out_ref[:] = _step_body(out_ref[:], bskm_ref[0], bsks_ref[0],
-                            ip_ref[0, 0], lp, mono_ref[:], monos_ref[:],
-                            wrev_ref[:] if wrev_ref is not None else None,
-                            params, zlb)
+    out = _step_body(out_ref[:], bskm_ref[0], bsks_ref[0],
+                     ip_ref[0, 0], lp, mono_ref[:], monos_ref[:],
+                     wrev_ref[:] if wrev_ref is not None else None,
+                     params, zlb)
+    if _lazy_ok(params):
+        # canonicalize the 2q-domain accumulator on the LAST step only
+        q = jnp.uint32(params.Q)
+        last = j == pl.num_programs(1) - 1
+        out = jnp.where(last & (out >= q), out - q, out)
+    out_ref[:] = out
 
 
 def _interpret() -> bool:
@@ -318,10 +343,11 @@ def blind_rotate_mega2(params: TfheParams, bsk: jax.Array,
     zlb = (m_by.bit_length() - 1) if (m_by & (m_by - 1)) == 0 else 0
     idx_pos = (jnp.where(a == 0, 0, u32(q) - a) * u32(m_by)) & u32(2 * N - 1)
     B = acc.shape[0]
-    # swept on v5e at STD128 b2048: 3546/3820/3871 gates/s at 128/256/512
-    # (512 costs ~3x the compile time for +1%)
+    # swept on v5e at STD128 b2048 (lazy-reduction kernel):
+    # 4950/5085 gates/s at 256/512 -- 512 wins ~3% for ~3x compile time,
+    # the right trade for a served key (compile once, run for hours)
     tile = tile if tile is not None else int(
-        os.environ.get("FHE_MEGA_TILE", "256"))
+        os.environ.get("FHE_MEGA_TILE", "512"))
     Bt = min(tile, -(-B // 8) * 8)
     Bp = -(-B // Bt) * Bt
     if Bp != B:
