@@ -28,6 +28,18 @@ def device_rng():
     return np.random.default_rng(777)
 
 
+@pytest.fixture(scope="module")
+def std128(device_rng):
+    """One STD128 context + bootstrap key shared by the device subset
+    (BT keygen is the expensive part)."""
+    from fhe_tpu.tfhe import BinFheContext
+
+    ctx = BinFheContext.generate("STD128")
+    sk = ctx.key_gen(device_rng)
+    key = ctx.bt_key_gen(sk, device_rng)
+    return ctx, sk, key
+
+
 def test_backend_is_real_device():
     # informational: records which backend actually ran this subset
     assert jax.default_backend() in ("tpu", "cpu")
@@ -76,14 +88,12 @@ def test_single_mod_ntt_impl_matrix(device_rng):
         np.testing.assert_array_equal(back, np.asarray(x), err_msg=impl)
 
 
-def test_mega2_vs_eager_blind_rotate_bitexact(device_rng):
+def test_mega2_vs_eager_blind_rotate_bitexact(device_rng, std128):
     """The Pallas megakernel's whole-scan accumulator == the eager XLA
     blind rotate, byte-equality, on a real STD128 key."""
-    from fhe_tpu.tfhe import BinFheContext, Gate, boot
+    from fhe_tpu.tfhe import Gate, boot
 
-    ctx = BinFheContext.generate("STD128")
-    sk = ctx.key_gen(device_rng)
-    key = ctx.bt_key_gen(sk, device_rng)
+    ctx, sk, key = std128
     p = ctx.params
     B = 8
     a = jnp.asarray(device_rng.integers(0, p.q, size=(B, p.n),
@@ -99,14 +109,12 @@ def test_mega2_vs_eager_blind_rotate_bitexact(device_rng):
     np.testing.assert_array_equal(out_mega, out_eager)
 
 
-def test_std128_gate_truth_table_device(device_rng):
+def test_std128_gate_truth_table_device(device_rng, std128):
     """End-to-end STD128 AND/OR/XOR truth tables through the default
     (megakernel) path on the device."""
-    from fhe_tpu.tfhe import BinFheContext, Gate
+    from fhe_tpu.tfhe import Gate
 
-    ctx = BinFheContext.generate("STD128")
-    sk = ctx.key_gen(device_rng)
-    key = ctx.bt_key_gen(sk, device_rng)
+    ctx, sk, key = std128
     m1 = np.array([0, 0, 1, 1])
     m2 = np.array([0, 1, 0, 1])
     ct1 = ctx.encrypt(sk, m1, device_rng)
