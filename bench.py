@@ -37,7 +37,7 @@ T0 = time.monotonic()
 
 
 def budget_left() -> float:
-    return float(os.environ.get("FHE_BENCH_BUDGET", "1500")) - (
+    return float(os.environ.get("FHE_BENCH_BUDGET", "2600")) - (
         time.monotonic() - T0)
 
 
