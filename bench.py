@@ -236,7 +236,11 @@ def bench_threshold(results: list):
 
     small = os.environ.get("FHE_BENCH_SMALL") == "1"
     N = 1 << (10 if small else 12)
-    ctx = ckks.CkksContext.create(N=N, num_levels=4, scale_bits=26, dnum=2)
+    # scale 2^29: the MP_SD = 2^20 flooding noise must sit well below the
+    # scale for the decrypted message to survive (sigma_slot =
+    # MP_SD*sqrt(n_parties*N)/scale ~= 0.27 here; at scale 2^26 the
+    # flooding swamps unit-amplitude slots entirely)
+    ctx = ckks.CkksContext.create(N=N, num_levels=3, scale_bits=29, dnum=2)
     rng = np.random.default_rng(3)
     sks, pk = multiparty.multiparty_keygen(ctx.params, 5, rng)
     z = rng.normal(size=N // 2)
@@ -253,13 +257,14 @@ def bench_threshold(results: list):
     for q in ct.moduli:
         Q *= q
     val = ckks.decode(ckks._center(big, Q), N, ct.scale)
-    ok = bool(np.abs(val.real - z).max() < 0.8)
+    sigma_slot = multiparty.MP_SD * float(np.sqrt(5 * N)) / ct.scale
+    ok = bool(np.abs(val.real - z).max() < 5 * sigma_slot)
 
     def step(c1_data):
         ph = pfn(s_stack, ct.c0.data, c1_data, key0)
         return rns.to_eval(rns.RnsPoly(ph, mods, rns.COEFF)).data
 
-    dt = timed_diff(step, ct.c1.data, k=3, iters=3)
+    dt = timed_diff(step, ct.c1.data, k=4, iters=4)
     ms = None if dt is None else dt * 1e3
     results.append(emit({
         "metric": f"threshold_ckks_5party_n{N}",

@@ -390,8 +390,20 @@ def mod_down_eval(params, t: RnsPoly, drop_q: int = 0) -> RnsPoly:
         x_d = mont_mul(x_d, tinv_m[:, None], plan_d.q_arr[:, None],
                        plan_d.qinv_neg[:, None])
     x_d = rns.ntt_inverse(plan_d, x_d)
-    sw = rns.switch_crt_basis_approx(
-        rns.RnsPoly(x_d, d_mods, COEFF), keep_mods)
+    if drop_q > 0:
+        # fused rescale: the result is FINAL-level data, so the slack on
+        # c1 would multiply the secret (u*s noise, ~|D| * sqrt(N) per
+        # coefficient after decryption) with no later rescale to shrink
+        # it -- use the EXACT switch (HPS 96-bit accumulation) so the
+        # joint P*q_block drop is floor-exact, like the reference's
+        # DropLastElementAndScale.  The pure-P ModDown keeps the approx
+        # switch (bit-compatible with ApproxModDown; its slack is
+        # divided away by the subsequent rescale).
+        sw = rns.switch_crt_basis_exact(
+            rns.RnsPoly(x_d, d_mods, COEFF), keep_mods)
+    else:
+        sw = rns.switch_crt_basis_approx(
+            rns.RnsPoly(x_d, d_mods, COEFF), keep_mods)
     sw_eval = rns.ntt_forward(plan_k, sw.data)
     if tmod is not None:
         tm = jnp.asarray([(int(tmod % m) << 32) % m for m in keep_mods],
@@ -489,9 +501,11 @@ def key_switch_core(params, evk, c: RnsPoly,
       * ModDown runs in EVALUATION format (mod_down_eval), optionally
         dropping the last `drop_q` q-limbs too (fused CKKS rescale).
 
-    Returns (d0, d1) over Q_{l-drop_q} in EVAL.  Bit-compatible with the
-    reference pipeline's RNS semantics; the approximate-conversion slack
-    matches ApproxSwitchCRTBasis (u < #dropped-limbs)."""
+    Returns (d0, d1) over Q_{l-drop_q} in EVAL.  With drop_q > 0 the
+    joint drop uses the EXACT basis switch, making the fused result
+    BIT-identical to the sequential relinearize-then-ModReduce pipeline
+    (both are floor(t / (P * q_block))); the pure ModDown (drop_q = 0)
+    keeps the reference's ApproxModDown slack semantics."""
     from ..math.modmath import mont_mul, add_mod
     q_mods = c.moduli
     L = len(q_mods)

@@ -225,9 +225,15 @@ def test_mul_rescale_fused(ctx, keys, rng):
     assert fused.level_limbs == ct1.level_limbs - ctx.cd
     got = ctx.decrypt(sk, fused)
     np.testing.assert_allclose(got.real, z1 * z2, atol=1e-3)
-    # matches the unfused pipeline's scale bookkeeping
+    # BIT-identical to the unfused mul-then-rescale pipeline: the fused
+    # drop uses the exact basis switch, so both compute the same
+    # floor(t / (P * q_block)) (and the same scale)
     ref = ctx.rescale(ctx.mul(ct1, ct2, evk))
     assert abs(fused.scale - ref.scale) < 1e-6 * ref.scale
+    np.testing.assert_array_equal(np.asarray(fused.c0.data),
+                                  np.asarray(ref.c0.data))
+    np.testing.assert_array_equal(np.asarray(fused.c1.data),
+                                  np.asarray(ref.c1.data))
     # square fast path (a is b)
     sq = ctx.mul_rescale(ct1, ct1, evk)
     got2 = ctx.decrypt(sk, sq)
