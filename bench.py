@@ -14,8 +14,12 @@ Configs (BASELINE.md "Measured configs"):
   5. 3-of-5-style threshold CKKS decrypt            vs ~50 ms ref CPU
 
 Each config is wrapped so a failure cannot suppress the headline line; a
-wall-clock budget (FHE_BENCH_BUDGET seconds, default 1500) skips
-remaining PKE configs rather than overrunning the driver.
+wall-clock budget (FHE_BENCH_BUDGET seconds, default 1200) skips
+remaining PKE configs rather than overrunning the driver, a SIGALRM
+watchdog at the budget plus a SIGTERM handler emit the headline-so-far
+and exit 0 if anything still overruns, and the gitignored
+.bench_cache/xla persistent compile cache makes warm runs complete in a
+few minutes.
 
 Device times for sub-ms PKE ops use k-vs-1 scan differencing
 (`timed_diff`): the tunneled axon runtime adds a ~1.3 ms per-scan-
@@ -24,20 +28,64 @@ iteration floor that plain wall timing cannot separate from the op.
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 import jax
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# Persistent XLA compile cache (gitignored): compiled executables
+# survive across processes, so the driver's run does not re-pay the
+# ~60 s megakernel / multi-minute CKKS pipeline compiles.  (A bootstrap-
+# key disk cache was tried and removed: uploading 660 MB of cached keys
+# through the tunnel measured SLOWER than the 95 s regeneration.)
+CACHE_DIR = os.path.join(_REPO, ".bench_cache")
+os.makedirs(CACHE_DIR, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE_DIR, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception as e:  # noqa: BLE001 - cache is best-effort
+    print(f"# compilation cache unavailable: {e!r}", file=sys.stderr)
 
 BASELINE_GATES_PER_SEC = 100.0  # reference: ~10 ms/gate, EPYC 7763 1T
 T0 = time.monotonic()
 
+# The headline record, set the moment the batched-throughput config is
+# measured.  If the driver's timeout (SIGTERM) or a watchdog (SIGALRM)
+# fires mid-matrix, the handler prints it WITH whatever extras have
+# completed, so the last stdout JSON line is always the headline.
+_HEADLINE: dict | None = None
+_RESULTS: list = []
+
+
+def _finalize_headline() -> dict:
+    h = dict(_HEADLINE) if _HEADLINE else {
+        "metric": "tfhe_std128_and_bootstraps_per_sec", "value": 0.0,
+        "unit": "gates/s", "vs_baseline": 0.0, "correct": False,
+        "error": "tfhe bench did not complete"}
+    h["extra"] = {r["metric"]: {k: v for k, v in r.items() if k != "metric"}
+                  for r in _RESULTS}
+    return h
+
+
+def _on_deadline(signum, frame):  # noqa: ARG001
+    print(f"# signal {signum}: emitting headline and exiting",
+          file=sys.stderr)
+    print(json.dumps(_finalize_headline()), flush=True)
+    os._exit(0)
+
+
+for _sig in (signal.SIGTERM, signal.SIGALRM):
+    signal.signal(_sig, _on_deadline)
+
 
 def budget_left() -> float:
-    return float(os.environ.get("FHE_BENCH_BUDGET", "2600")) - (
+    return float(os.environ.get("FHE_BENCH_BUDGET", "1200")) - (
         time.monotonic() - T0)
 
 
@@ -93,6 +141,7 @@ def timed_diff(step, init, k=3, iters=4):
 
 def bench_tfhe(results: list):
     """Configs 1-2: STD128 AND gate, batched throughput + single latency."""
+    global _HEADLINE
     from fhe_tpu.tfhe import BinFheContext, Gate
 
     on_tpu = jax.default_backend() == "tpu"
@@ -106,23 +155,53 @@ def bench_tfhe(results: list):
     ctx = BinFheContext.generate(param_set)
     rng = np.random.default_rng(2026)
     sk = ctx.key_gen(rng)
+    print("# tfhe: generating bootstrap key", file=sys.stderr)
     key = ctx.bt_key_gen(sk, rng)
 
     m1 = rng.integers(0, 2, size=batch)
     m2 = rng.integers(0, 2, size=batch)
     ct1 = ctx.encrypt(sk, m1, rng)
     ct2 = ctx.encrypt(sk, m2, rng)
+    # fresh input pair per timing iteration (bench hygiene), and each
+    # iteration ends with a scalar device->host read: on the
+    # experimental tunneled runtime, block_until_ready alone has been
+    # observed to return early (a 786 ms batch "measured" as 0.94 ms);
+    # a host read of the result cannot not block.
+    pairs = [(ctx.encrypt(sk, m1, rng), ctx.encrypt(sk, m2, rng))
+             for _ in range(iters)]
+    jax.block_until_ready([p[0].a for p in pairs])
 
     out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)   # compile
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = ctx.eval_bin_gate(key, Gate.AND, ct1, ct2)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    print("# tfhe: compiled, timing", file=sys.stderr)
+    dts = []
+    for c1, c2 in pairs:
+        t0 = time.perf_counter()
+        out = ctx.eval_bin_gate(key, Gate.AND, c1, c2)
+        np.asarray(out.b[:1])
+        dts.append(time.perf_counter() - t0)
+    # best-of-iters: the tunneled chip is SHARED, so wall time includes
+    # other tenants' queueing (observed 0.8 s..4 s for the same batch
+    # minutes apart); the minimum approximates unloaded device time
+    dt = min(dts)
     got = np.asarray(ctx.decrypt(sk, out, p=4))
     ok = bool(np.array_equal(got, m1 & m2))
     gates_per_sec = batch / dt
+
+    # Publish + emit the headline the moment it exists: any later
+    # failure or timeout can no longer lose it (the final line re-emits
+    # it with the full extras map).
+    _HEADLINE = emit({
+        "metric": f"tfhe_{param_set.lower()}_and_bootstraps_per_sec"
+                  f"_b{batch}_{jax.default_backend()}",
+        "value": round(gates_per_sec, 2),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_sec / BASELINE_GATES_PER_SEC, 3),
+        "correct": ok,
+        "batch": batch,
+        "ms_per_batch": round(dt * 1e3, 2),
+        "ms_per_batch_mean": round(sum(dts) / len(dts) * 1e3, 2),
+    })
 
     # config 1: single-gate latency (batch 1, wall)
     c1a = ctx.encrypt(sk, np.array([1]), rng)
@@ -141,22 +220,14 @@ def bench_tfhe(results: list):
         "value": round(lat_ms, 3), "unit": "ms",
         "vs_baseline": round(10.0 / lat_ms, 3), "correct": ok1}))
 
-    return {
-        "metric": f"tfhe_{param_set.lower()}_and_bootstraps_per_sec"
-                  f"_b{batch}_{jax.default_backend()}",
-        "value": round(gates_per_sec, 2),
-        "unit": "gates/s",
-        "vs_baseline": round(gates_per_sec / BASELINE_GATES_PER_SEC, 3),
-        "correct": ok,
-        "batch": batch,
-        "ms_per_batch": round(dt * 1e3, 2),
-    }
+    return _HEADLINE
 
 
 def bench_ckks(results: list):
     """Config 3: fused CKKS mult+relin+rescale at N=2^14, 8 limbs
     (ckks.mul_rescale: one EVAL-domain basis change for relin+rescale,
     Montgomery-prepared switching key)."""
+    print("# bench_ckks: setup", file=sys.stderr)
     import jax.numpy as jnp
     from fhe_tpu.pke import ckks, rlwe
     from fhe_tpu.lattice import rns
@@ -205,6 +276,7 @@ def bench_ckks(results: list):
 def bench_bfv(results: list):
     """Config 4: BFV mult+relin at N=2^15 (the dot-product hot op).
     Reference CPU: BFVrns_MultRelin 3.021 ms (BENCHMARKS.md:110)."""
+    print("# bench_bfv: setup", file=sys.stderr)
     from fhe_tpu.pke import bfv
 
     small = os.environ.get("FHE_BENCH_SMALL") == "1"
@@ -230,6 +302,7 @@ def bench_threshold(results: list):
     """Config 5: 3-of-5-style threshold CKKS decrypt (lead + 4 mains +
     fusion, one compiled pipeline).  Reference CPU: ~50 ms combine
     (README.md:143)."""
+    print("# bench_threshold: setup", file=sys.stderr)
     import jax.numpy as jnp
     from fhe_tpu.pke import ckks, multiparty
     from fhe_tpu.lattice import rns
@@ -275,10 +348,13 @@ def bench_threshold(results: list):
 
 def main():
     _default_backend()
-    results: list = []
-    headline = None
+    # Self-deadline: emit the headline and exit cleanly well before any
+    # external timeout can produce an artifact without it (r04 lesson:
+    # the driver's run died rc=124 mid-matrix and the headline never
+    # printed).
+    signal.alarm(int(max(60.0, budget_left())))
     try:
-        headline = bench_tfhe(results)
+        bench_tfhe(_RESULTS)
     except Exception as e:  # noqa: BLE001
         print(f"# tfhe bench failed: {e!r}", file=sys.stderr)
     for name, fn in (("ckks", bench_ckks), ("bfv", bench_bfv),
@@ -289,17 +365,11 @@ def main():
             print(f"# budget exhausted, skipping {name}", file=sys.stderr)
             continue
         try:
-            fn(results)
+            fn(_RESULTS)
         except Exception as e:  # noqa: BLE001
             print(f"# {name} bench failed: {e!r}", file=sys.stderr)
-    if headline is None:
-        headline = {"metric": "tfhe_std128_and_bootstraps_per_sec",
-                    "value": 0.0, "unit": "gates/s", "vs_baseline": 0.0,
-                    "correct": False, "error": "tfhe bench failed"}
-    headline["extra"] = {r["metric"]: {k: v for k, v in r.items()
-                                       if k != "metric"}
-                         for r in results}
-    print(json.dumps(headline), flush=True)
+    signal.alarm(0)
+    print(json.dumps(_finalize_headline()), flush=True)
 
 
 if __name__ == "__main__":
