@@ -27,7 +27,11 @@ class BinFheContext:
     # -- construction -------------------------------------------------------
     @classmethod
     def generate(cls, param_set: str = "STD128",
-                 method: Method | str = Method.GINX) -> "BinFheContext":
+                 method: Method | str | None = None) -> "BinFheContext":
+        """method=None auto-selects from the paramset name (*_LMKCDEY
+        sets get the LMKCDEY accumulator; everything else GINX); an
+        explicit incompatible method raises, mirroring the reference's
+        isMethodCompatible throw (binfhecontext.cpp:66)."""
         method = Method[method] if isinstance(method, str) else method
         return cls(params=make_params(param_set, method))
 

@@ -188,7 +188,37 @@ class TfheParams:
 
 
 @lru_cache(maxsize=None)
-def make_params(name: str, method: Method = Method.GINX) -> TfheParams:
+def check_method_compatible(method: Method, name: str) -> None:
+    """isMethodCompatible (binfhe-constants-impl.cpp:266-330): LMKCDEY
+    paramsets only run under the LMKCDEY method, and vice versa.  The
+    reference throws on a mismatch; silently running GINX on an
+    *_LMKCDEY set is worse than an error — the Gaussian-secret sets
+    (e.g. STD128_LMKCDEY) would produce WRONG gates, because the GINX
+    bootstrap key is a ternary two-column CMUX key that treats every
+    |s_i| >= 2 coefficient as zero."""
+    is_lmk_set = "LMKCDEY" in name
+    # TOY/MEDIUM run under any method in the reference's compat table
+    any_method = name in ("TOY", "MEDIUM")
+    if method == Method.LMKCDEY:
+        if not (is_lmk_set or any_method):
+            raise ValueError(
+                f"paramset {name} is incompatible with method LMKCDEY "
+                "(binfhe-constants-impl.cpp:266 isMethodCompatible)")
+    elif is_lmk_set:
+        raise ValueError(
+            f"paramset {name} is incompatible with method {method.value} "
+            "(binfhe-constants-impl.cpp:296 isMethodCompatible); use "
+            "method=LMKCDEY or omit method to auto-select it")
+
+
+def make_params(name: str, method: Method | None = None) -> TfheParams:
+    """method=None auto-selects from the set name (*_LMKCDEY ->
+    LMKCDEY, else GINX) — a deliberate usability improvement over the
+    reference's default-GINX-then-throw; explicit mismatches still
+    raise via check_method_compatible."""
+    if method is None:
+        method = Method.LMKCDEY if "LMKCDEY" in name else Method.GINX
+    check_method_compatible(method, name)
     raw = PARAM_SETS[name]
     N = raw.cyc_order // 2
     moduli_rns = ()

@@ -74,6 +74,14 @@ def bsk_gen(params: TfheParams, sk: lwe.LweSecretKey, sk_n: lwe.LweSecretKey,
     a = rng.integers(0, Q, size=(n, 2, dg2, N), dtype=np.int64)
     e = lwe._sample_error(rng, (n, 2, dg2, N), params.std_dev) % Q
     s = np.asarray(sk.s, dtype=np.int64)
+    if np.abs(s).max() > 1:
+        # the two-column CMUX key can only represent ternary secrets; a
+        # Gaussian secret (e.g. STD128_LMKCDEY's) would silently lose
+        # every |s_i| >= 2 coefficient — use the LMKCDEY accumulator
+        raise ValueError(
+            "GINX bootstrap keys require a ternary secret "
+            f"(got |s| up to {int(np.abs(s).max())}); Gaussian-secret "
+            "paramsets must use method=LMKCDEY")
     m = np.stack([(s == 1), (s == -1)], axis=1).astype(np.uint32)  # [n, 2]
 
     skn_coef = (np.asarray(sk_n.s, dtype=np.int64) % Q).astype(np.uint32)
