@@ -110,8 +110,10 @@ class Suite:
         return time.monotonic() - self._t0 > self.budget_s
 
     def add(self, case: str, seconds: float | None, *, unit: str = "us",
-            ref_us: float | None = None, **extra):
-        us = None if seconds is None else seconds * 1e6
+            ref_us: float | None = None, scale: float = 1.0, **extra):
+        """scale: divide the measured time by this (e.g. the batch size,
+        to report per-item time of a batched case)."""
+        us = None if seconds is None else seconds * 1e6 / scale
         rec = {"suite": self.name, "case": case,
                "value": None if us is None else round(us, 3), "unit": unit,
                "backend": jax.default_backend()}
